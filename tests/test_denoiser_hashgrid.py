@@ -1,0 +1,99 @@
+"""Bilateral denoiser vs independent roll-based oracle (reference
+filter_test.py pattern) + color-only VJP; hash-grid encoding properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvdiffrecmc_tpu.ops import denoiser
+from nvdiffrecmc_tpu.ops import hashgrid
+
+
+def make_buffers(h=24, w=24, seed=0):
+    rng = np.random.RandomState(seed)
+    col = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    nrm = rng.randn(1, h, w, 3).astype(np.float32) + np.array([0, 0, 2.0])
+    nrm = jnp.asarray(nrm / np.linalg.norm(nrm, axis=-1, keepdims=True))
+    z = rng.rand(1, h, w, 1).astype(np.float32) * 2
+    dz = rng.rand(1, h, w, 1).astype(np.float32) * 0.05 + 0.01
+    zdz = jnp.asarray(np.concatenate([z, dz], -1))
+    return col, nrm, zdz
+
+
+def test_denoiser_matches_roll_oracle():
+    col, nrm, zdz = make_buffers()
+    for sigma in (0.3, 1.0, 2.0):
+        out = denoiser.bilateral_denoiser(col, nrm, zdz, jnp.float32(sigma))
+        ref = denoiser.bilateral_reference_jnp(col, nrm, zdz, sigma)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_denoiser_constant_image_preserved():
+    col, nrm, zdz = make_buffers()
+    col = jnp.ones_like(col) * 0.42
+    out = denoiser.bilateral_denoiser(col, nrm, zdz, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(out), 0.42, atol=1e-4)
+
+
+def test_denoiser_vjp_color_only():
+    col, nrm, zdz = make_buffers(h=12, w=12)
+
+    def f(c, n, z):
+        return jnp.sum(denoiser.bilateral_denoiser(c, n, z, jnp.float32(0.8)) ** 2)
+
+    gc, gn, gz = jax.grad(f, argnums=(0, 1, 2))(col, nrm, zdz)
+    assert float(jnp.abs(gc).sum()) > 0
+    # custom VJP: normals and depth are treated as constants
+    assert float(jnp.abs(gn).sum()) == 0.0
+    assert float(jnp.abs(gz).sum()) == 0.0
+
+
+def test_denoiser_reduces_noise():
+    rng = np.random.RandomState(1)
+    clean = np.ones((1, 32, 32, 3), np.float32) * 0.5
+    noisy = clean + rng.randn(1, 32, 32, 3).astype(np.float32) * 0.2
+    nrm = jnp.asarray(np.tile(np.array([0, 0, 1.0], np.float32), (1, 32, 32, 1)))
+    zdz = jnp.asarray(np.tile(np.array([1.0, 0.01], np.float32), (1, 32, 32, 1)))
+    out = denoiser.bilateral_denoiser(jnp.asarray(noisy), nrm, zdz,
+                                      jnp.float32(2.0))
+    err_in = np.abs(noisy - clean).mean()
+    err_out = np.abs(np.asarray(out) - clean).mean()
+    assert err_out < err_in * 0.3
+
+
+def test_hashgrid_interpolation_continuity():
+    cfg = hashgrid.HashEncodingConfig(n_levels=4, log2_hashmap_size=12,
+                                      base_resolution=4,
+                                      desired_resolution=32)
+    key = jax.random.PRNGKey(0)
+    table = hashgrid.init_encoding(key, cfg) * 1e4  # scale up for visibility
+    x = jnp.asarray(np.random.RandomState(0).rand(64, 3).astype(np.float32))
+    f0 = hashgrid.encode(table, x, cfg)
+    f1 = hashgrid.encode(table, x + 1e-5, cfg)
+    # trilinear interpolation is continuous
+    assert float(jnp.abs(f1 - f0).max()) < 1e-2
+
+
+def test_mlp_texture_range_and_grads():
+    cfg = hashgrid.HashEncodingConfig(n_levels=4, log2_hashmap_size=12,
+                                      base_resolution=4,
+                                      desired_resolution=32)
+    key = jax.random.PRNGKey(1)
+    params = hashgrid.init_mlp_texture(key, cfg, channels=6)
+    aabb = (jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0]))
+    mn = jnp.array([0.0, 0.0, 0.0, 0.0, 0.08, 0.0])
+    mx = jnp.array([1.0, 1.0, 1.0, 0.0, 1.0, 1.0])
+    x = jnp.asarray(np.random.RandomState(2).uniform(-1, 1, (2, 8, 8, 3))
+                    .astype(np.float32))
+    out = hashgrid.sample_mlp_texture(params, cfg, aabb, (mn, mx), x)
+    assert out.shape == (2, 8, 8, 6)
+    o = np.asarray(out)
+    assert (o >= np.asarray(mn) - 1e-5).all() and (o <= np.asarray(mx) + 1e-5).all()
+
+    def loss(p):
+        return jnp.sum(hashgrid.sample_mlp_texture(p, cfg, aabb, (mn, mx), x) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g.table).sum()) > 0
+    assert all(float(jnp.abs(w).sum()) > 0 for w in g.weights)
