@@ -1,0 +1,138 @@
+"""CLI + JSON config system.
+
+Accepts the exact reference configs (/root/reference/configs/*.json) and CLI
+surface of /root/reference/train.py:501-567; FLAGS is a plain dict (jit- and
+pickle-friendly).  One extension: `data_root` resolves the configs' relative
+asset paths ('data/...') against a dataset root directory (the reference runs
+from its own repo root; we default to the mounted reference data)."""
+
+import argparse
+import json
+import os
+
+DEFAULTS = dict(
+    iter=5000,
+    batch=1,
+    spp=1,
+    layers=1,
+    train_res=[512, 512],
+    display_res=None,
+    texture_res=[1024, 1024],
+    display_interval=0,
+    save_interval=1000,
+    learning_rate=0.01,
+    custom_mip=False,
+    background='checker',
+    loss='logl1',
+    out_dir=None,
+    config=None,
+    ref_mesh=None,
+    base_mesh=None,
+    validate=True,
+    n_samples=4,
+    bsdf='pbr',
+    denoiser='bilateral',
+    denoiser_demodulate=True,
+    # extended defaults (reference train.py:529-562)
+    mtl_override=None,
+    dmtet_grid=64,
+    mesh_scale=2.1,
+    envlight=None,
+    env_scale=1.0,
+    probe_res=256,
+    learn_lighting=True,
+    display=None,
+    transparency=False,
+    lock_light=False,
+    lock_pos=False,
+    sdf_regularizer=0.2,
+    laplace='relative',
+    laplace_scale=3000.0,
+    pre_load=True,
+    no_perturbed_nrm=False,
+    decorrelated=False,
+    kd_min=[0.0, 0.0, 0.0, 0.0],
+    kd_max=[1.0, 1.0, 1.0, 1.0],
+    ks_min=[0.0, 0.08, 0.0],
+    ks_max=[0.0, 1.0, 1.0],
+    nrm_min=[-1.0, -1.0, 0.0],
+    nrm_max=[1.0, 1.0, 1.0],
+    clip_max_norm=0.0,
+    cam_near_far=[0.1, 1000.0],
+    lambda_kd=0.1,
+    lambda_ks=0.05,
+    lambda_nrm=0.025,
+    lambda_nrm2=0.25,
+    lambda_chroma=0.0,
+    lambda_diffuse=0.15,
+    lambda_specular=0.0025,
+    # TPU-framework extensions
+    data_root='/root/reference',
+    leaf_size=128,
+    max_tris=None,
+    out_root='out',
+)
+
+
+def parse_flags(argv=None):
+    parser = argparse.ArgumentParser(description='nvdiffrecmc_tpu')
+    parser.add_argument('-i', '--iter', type=int, default=5000)
+    parser.add_argument('-b', '--batch', type=int, default=1)
+    parser.add_argument('-s', '--spp', type=int, default=1)
+    parser.add_argument('-l', '--layers', type=int, default=1)
+    parser.add_argument('-r', '--train-res', nargs=2, type=int,
+                        default=[512, 512])
+    parser.add_argument('-dr', '--display-res', type=int, default=None)
+    parser.add_argument('-tr', '--texture-res', nargs=2, type=int,
+                        default=[1024, 1024])
+    parser.add_argument('-di', '--display-interval', type=int, default=0)
+    parser.add_argument('-si', '--save-interval', type=int, default=1000)
+    parser.add_argument('-lr', '--learning-rate', type=float, default=0.01)
+    parser.add_argument('-mip', '--custom-mip', action='store_true',
+                        default=False)
+    parser.add_argument('-bg', '--background', default='checker',
+                        choices=['black', 'white', 'checker', 'reference'])
+    parser.add_argument('--loss', default='logl1',
+                        choices=['logl1', 'logl2', 'mse', 'smape',
+                                 'relativel2'])
+    parser.add_argument('-o', '--out-dir', type=str, default=None)
+    parser.add_argument('--config', type=str, default=None)
+    parser.add_argument('-rm', '--ref_mesh', type=str)
+    parser.add_argument('-bm', '--base-mesh', type=str, default=None)
+    parser.add_argument('--validate', type=lambda s: s.lower() != 'false',
+                        default=True)
+    parser.add_argument('--n_samples', type=int, default=4)
+    parser.add_argument('--bsdf', type=str, default='pbr',
+                        choices=['pbr', 'diffuse', 'white'])
+    parser.add_argument('--denoiser', default='bilateral',
+                        choices=['none', 'bilateral'])
+    parser.add_argument('--denoiser_demodulate', type=bool, default=True)
+    parser.add_argument('--data-root', type=str,
+                        default=DEFAULTS['data_root'])
+    args = parser.parse_args(argv)
+
+    FLAGS = dict(DEFAULTS)
+    for k, v in vars(args).items():
+        FLAGS[k] = v
+
+    if FLAGS['config'] is not None:
+        data = json.load(open(FLAGS['config'], 'r'))
+        for key in data:
+            FLAGS[key] = data[key]
+
+    if FLAGS['display_res'] is None:
+        FLAGS['display_res'] = FLAGS['train_res']
+    if FLAGS['out_dir'] is None:
+        FLAGS['out_dir'] = os.path.join(
+            FLAGS['out_root'], 'cube_%d' % FLAGS['train_res'][0])
+    else:
+        FLAGS['out_dir'] = os.path.join(FLAGS['out_root'], FLAGS['out_dir'])
+    return FLAGS
+
+
+def resolve_path(FLAGS, p):
+    """Resolve a config-relative asset path against data_root."""
+    if p is None or os.path.isabs(p) or os.path.exists(p):
+        return p
+    cand = os.path.join(FLAGS['data_root'], p)
+    return cand if os.path.exists(cand) else p

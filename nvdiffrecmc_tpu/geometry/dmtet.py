@@ -1,0 +1,274 @@
+"""Differentiable marching tetrahedra with static shapes.
+
+Capability parity with /root/reference/geometry/dmtet.py:91-141 re-designed
+for XLA: the reference emits variable-length vertex/triangle lists via
+torch.unique + boolean indexing; here the unique-edge table and per-tet
+edge maps are precomputed on the host once (topology of the tet grid is
+fixed), every unique edge owns a potential vertex slot, and triangles are
+compacted into a fixed MAX_TRIS buffer with a validity mask.  Everything
+inside `marching_tets` is jit-compatible and differentiable w.r.t. sdf and
+deform exactly like the reference (zero-crossing interpolation).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render import mesh as mesh_mod
+from ..render import render as render_mod
+from ..render import regularizer
+from ..ops import bvh as bvh_mod
+
+# marching-tets tables (public domain marching tetrahedra configuration,
+# same convention as reference dmtet.py:21-42)
+TRIANGLE_TABLE = np.array([
+    [-1, -1, -1, -1, -1, -1],
+    [1, 0, 2, -1, -1, -1],
+    [4, 0, 3, -1, -1, -1],
+    [1, 4, 2, 1, 3, 4],
+    [3, 1, 5, -1, -1, -1],
+    [2, 3, 0, 2, 5, 3],
+    [1, 4, 0, 1, 5, 4],
+    [4, 2, 5, -1, -1, -1],
+    [4, 5, 2, -1, -1, -1],
+    [4, 1, 0, 4, 5, 1],
+    [3, 2, 0, 3, 5, 2],
+    [1, 3, 5, -1, -1, -1],
+    [4, 1, 2, 4, 3, 1],
+    [3, 0, 4, -1, -1, -1],
+    [2, 0, 1, -1, -1, -1],
+    [-1, -1, -1, -1, -1, -1],
+], dtype=np.int32)
+
+NUM_TRIANGLES_TABLE = np.array([0, 1, 1, 2, 1, 2, 2, 1, 1, 2, 2, 1, 2, 1, 1, 0],
+                               dtype=np.int32)
+BASE_TET_EDGES = np.array([0, 1, 0, 2, 0, 3, 1, 2, 1, 3, 2, 3], dtype=np.int32)
+
+
+def kuhn_tet_grid(res):
+    """Fallback tetrahedral grid: res^3 cube cells, 6 tets each (Kuhn
+    triangulation), vertices in [-0.5, 0.5]^3 — used when no quartet-
+    generated .npz is available.  Positive orientation per tet."""
+    r = res
+    xs = np.linspace(-0.5, 0.5, r + 1, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing='ij')
+    verts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+    def vid(i, j, k):
+        return (i * (r + 1) + j) * (r + 1) + k
+
+    ii, jj, kk = np.meshgrid(np.arange(r), np.arange(r), np.arange(r),
+                             indexing='ij')
+    c = np.stack([ii, jj, kk], axis=-1).reshape(-1, 3)
+    corners = np.stack([vid(c[:, 0] + dx, c[:, 1] + dy, c[:, 2] + dz)
+                        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+                       axis=-1)  # order: x*4 + y*2 + z
+    # Kuhn: 6 tets along the main diagonal 0 -> 7, one per axis permutation;
+    # odd permutations get two vertices swapped so every tet has positive
+    # orientation (required for consistent marching-tets surface winding).
+    paths = [(4, 6, False), (4, 5, True), (2, 6, True),
+             (2, 3, False), (1, 5, False), (1, 3, True)]
+    tets = []
+    for a, b, flip in paths:
+        if flip:
+            a, b = b, a
+        tets.append(np.stack([corners[:, 0], corners[:, a], corners[:, b],
+                              corners[:, 7]], axis=-1))
+    idx = np.concatenate(tets, axis=0).astype(np.int32)
+    return verts, idx
+
+
+def _precompute_edge_tables(indices):
+    """Host-side: unique undirected edges of the tet grid + per-tet map from
+    the 6 local edges to unique edge ids."""
+    t = np.asarray(indices)
+    e = t[:, BASE_TET_EDGES].reshape(-1, 2)           # [Nt*6, 2]
+    e = np.sort(e, axis=1)
+    uniq, inv = np.unique(e, axis=0, return_inverse=True)
+    return uniq.astype(np.int32), inv.reshape(-1, 6).astype(np.int32)
+
+
+def map_uv_tables(num_tets):
+    """Static per-tet UV atlas (reference dmtet.py:54-82): each tet owns a
+    cell in an NxN chart grid holding a padded quad (two triangles)."""
+    N = int(np.ceil(np.sqrt((num_tets * 2 + 1) // 2)))
+    tex_y, tex_x = np.meshgrid(
+        np.linspace(0, 1 - (1 / N), N, dtype=np.float32),
+        np.linspace(0, 1 - (1 / N), N, dtype=np.float32), indexing='ij')
+    pad = 0.9 / N
+    uvs = np.stack([
+        tex_x, tex_y,
+        tex_x + pad, tex_y,
+        tex_x + pad, tex_y + pad,
+        tex_x, tex_y + pad,
+    ], axis=-1).reshape(-1, 2).astype(np.float32)
+    return uvs, N
+
+
+def marching_tets(v_deformed, sdf, tet_idx, edge_uniq, edge_map, max_tris):
+    """Extract the zero-level-set mesh.
+
+    v_deformed [Nv,3], sdf [Nv], tet_idx [Nt,4] int32, edge_uniq [E,2],
+    edge_map [Nt,6].  Returns (verts [E,3], faces [max_tris,3] int32 into the
+    edge-vertex array, face_gidx [max_tris], tri_mask [max_tris])."""
+    occ = sdf > 0
+    occ_f = occ[tet_idx]                                      # [Nt,4]
+    tetindex = (occ_f * jnp.array([1, 2, 4, 8])).sum(axis=-1)  # [Nt]
+
+    # per-unique-edge vertex: sdf zero-crossing interpolation (differentiable
+    # w.r.t. both endpoint positions and sdf values, reference dmtet.py:111-118)
+    s0 = sdf[edge_uniq[:, 0]]
+    s1 = sdf[edge_uniq[:, 1]]
+    p0 = v_deformed[edge_uniq[:, 0]]
+    p1 = v_deformed[edge_uniq[:, 1]]
+    denom = s0 - s1
+    denom = jnp.where(jnp.abs(denom) > 1e-10, denom,
+                      jnp.where(denom >= 0, 1e-10, -1e-10))
+    w0 = -s1 / denom
+    w1 = s0 / denom
+    verts = p0 * w0[:, None] + p1 * w1[:, None]
+    active_edge = occ[edge_uniq[:, 0]] != occ[edge_uniq[:, 1]]
+    # inactive edges have meaningless interpolation; park them at the midpoint
+    verts = jnp.where(active_edge[:, None], verts, (p0 + p1) * 0.5)
+
+    # triangle slots: 2 per tet
+    tt = jnp.asarray(TRIANGLE_TABLE)
+    ntt = jnp.asarray(NUM_TRIANGLES_TABLE)
+    n_tri = ntt[tetindex]                                     # [Nt]
+    local = tt[tetindex]                                      # [Nt,6]
+    # map local edge slots to unique-edge (vertex) ids
+    gathered = jnp.take_along_axis(edge_map, jnp.clip(local, 0), axis=1)
+    slot_valid = jnp.stack([n_tri >= 1, n_tri >= 2], axis=1)  # [Nt,2]
+    slot_faces = gathered.reshape(-1, 2, 3)                   # [Nt,2,3]
+
+    flat_valid = slot_valid.reshape(-1)                       # [Nt*2]
+    (sel,) = jnp.nonzero(flat_valid, size=max_tris,
+                         fill_value=flat_valid.shape[0])
+    overflow = jnp.sum(flat_valid) > max_tris
+    tri_mask = (sel < flat_valid.shape[0]).astype(jnp.float32)
+    sel_c = jnp.clip(sel, 0, flat_valid.shape[0] - 1)
+    faces = slot_faces.reshape(-1, 3)[sel_c]
+    faces = jnp.where(tri_mask[:, None] > 0, faces, 0).astype(jnp.int32)
+    face_gidx = jnp.where(tri_mask > 0, sel_c, 0).astype(jnp.int32)
+    return verts, faces, face_gidx, tri_mask, overflow
+
+
+def sdf_reg_loss(sdf, all_edges):
+    """Sign-consistency BCE over sign-crossing tet edges
+    (reference dmtet.py:147-153); masked mean replaces boolean indexing."""
+    s0 = sdf[all_edges[:, 0]]
+    s1 = sdf[all_edges[:, 1]]
+    mask = (jnp.sign(s0) != jnp.sign(s1)).astype(jnp.float32)
+
+    def bce_logits(logit, target):
+        return (jnp.clip(logit, 0) - logit * target
+                + jnp.log1p(jnp.exp(-jnp.abs(logit))))
+
+    b = bce_logits(s0, (s1 > 0).astype(jnp.float32)) \
+        + bce_logits(s1, (s0 > 0).astype(jnp.float32))
+    return jnp.sum(b * mask) / jnp.clip(jnp.sum(mask), min=1.0)
+
+
+class DMTetGeometry:
+    """Topology-free geometry trainer (reference dmtet.py:159-246).
+
+    Parameters (a pytree dict): {'sdf': [Nv], 'deform': [Nv,3]}."""
+
+    def __init__(self, grid_res, scale, FLAGS, tets_path=None, max_tris=None,
+                 seed=0):
+        self.FLAGS = FLAGS
+        self.grid_res = grid_res
+        path = tets_path or os.path.join(
+            FLAGS.get('data_root', '.'), 'data', 'tets',
+            '{}_tets.npz'.format(grid_res))
+        if os.path.exists(path):
+            tets = np.load(path)
+            tet_verts = np.asarray(tets['vertices'], dtype=np.float32)
+            tet_idx = np.asarray(tets['indices'], dtype=np.int32)
+        else:
+            print('tet grid %s not found; generating Kuhn grid' % path)
+            tet_verts, tet_idx = kuhn_tet_grid(grid_res)
+        self.verts = jnp.asarray(tet_verts) * scale
+        self.indices = jnp.asarray(tet_idx)
+        edge_uniq, edge_map = _precompute_edge_tables(tets['indices'])
+        self.edge_uniq = jnp.asarray(edge_uniq)
+        self.edge_map = jnp.asarray(edge_map)
+        num_tets = int(self.indices.shape[0])
+        uvs, self.uv_N = map_uv_tables(num_tets)
+        self.uvs = jnp.asarray(uvs)
+        # MAX_TRIS: the surface of a blob at grid resolution r has O(r^2)
+        # crossing tets; 16*r^2 is a comfortable bound for the shapes the
+        # reference targets (64 -> 64k slots, 128 -> 256k).
+        self.max_tris = max_tris or 16 * grid_res * grid_res
+        rng = np.random.RandomState(seed)
+        sdf = rng.rand(self.verts.shape[0]).astype(np.float32) - 0.1
+        self.init_params = {
+            'sdf': jnp.asarray(sdf),
+            'deform': jnp.zeros_like(self.verts),
+        }
+
+    def parameters(self):
+        return self.init_params
+
+    def getAABB(self):
+        return (jnp.min(self.verts, axis=0), jnp.max(self.verts, axis=0))
+
+    def getMesh(self, params, material, build_bvh=True, leaf_size=128):
+        v_deformed = (self.verts
+                      + 2.0 / (self.grid_res * 2) * jnp.tanh(params['deform']))
+        verts, faces, face_gidx, tri_mask, _ = marching_tets(
+            v_deformed, params['sdf'], self.indices, self.edge_uniq,
+            self.edge_map, self.max_tris)
+        tet = face_gidx // 2
+        tri = face_gidx % 2
+        uv_idx = jnp.stack([tet * 4, tet * 4 + tri + 1, tet * 4 + tri + 2],
+                           axis=-1).astype(jnp.int32)
+        m = mesh_mod.Mesh(v_pos=verts, t_pos_idx=faces, v_tex=self.uvs,
+                          t_tex_idx=uv_idx, tri_mask=tri_mask,
+                          material=material)
+        m = mesh_mod.auto_normals(m)
+        m = mesh_mod.compute_tangents(m)
+        bvh = bvh_mod.build(m.v_pos, m.t_pos_idx, tri_mask=tri_mask > 0,
+                            leaf_size=leaf_size) if build_bvh else None
+        return m, bvh
+
+    def tick(self, params, material, lgt, target, loss_fn, iteration, FLAGS,
+             denoiser_sigma, perms, key, rnd_seed):
+        """One loss evaluation (reference dmtet.py:210-246).  Pure function of
+        params; returns (img_loss, reg_loss)."""
+        t_iter = iteration / FLAGS['iter']
+        color_ref = target['img']
+
+        opt_mesh, bvh = self.getMesh(params, material)
+        shadow_ramp = jnp.minimum(iteration / 1750.0, 1.0)
+
+        buffers = render_mod.render_mesh(
+            FLAGS, opt_mesh, target['mvp'], target['campos'], lgt,
+            target['resolution'], bvh, perms, key, spp=target['spp'],
+            num_layers=FLAGS['layers'], msaa=True,
+            background=target['background'],
+            denoiser_sigma=denoiser_sigma, shadow_scale=shadow_ramp,
+            rnd_seed=rnd_seed)
+
+        img_loss = jnp.mean(
+            (buffers['shaded'][..., 3:] - color_ref[..., 3:]) ** 2)
+        img_loss += loss_fn(buffers['shaded'][..., 0:3] * color_ref[..., 3:],
+                            color_ref[..., 0:3] * color_ref[..., 3:])
+
+        sdf_weight = (FLAGS['sdf_regularizer']
+                      - (FLAGS['sdf_regularizer'] - 0.01)
+                      * jnp.minimum(1.0, 4.0 * t_iter))
+        reg_loss = sdf_reg_loss(params['sdf'], self.edge_uniq) * sdf_weight
+
+        reg_loss += regularizer.shading_loss(
+            buffers['diffuse_light'], buffers['specular_light'], color_ref,
+            FLAGS['lambda_diffuse'], FLAGS['lambda_specular'])
+        reg_loss += regularizer.material_smoothness_grad(
+            buffers['kd_grad'], buffers['ks_grad'], buffers['normal_grad'],
+            lambda_kd=FLAGS['lambda_kd'], lambda_ks=FLAGS['lambda_ks'],
+            lambda_nrm=FLAGS['lambda_nrm'])
+        reg_loss += regularizer.chroma_loss(buffers['kd'], color_ref,
+                                            FLAGS['lambda_chroma'])
+        return img_loss, reg_loss

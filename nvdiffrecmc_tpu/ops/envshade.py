@@ -352,6 +352,10 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
     strata_frac = 1.0 / n_samples_x
     sample_frac = 1.0 / n2
 
+    occlusion_fn = tracer.make_occlusion_fn(
+        backend or _default_backend(), tmin=0.0, ray_chunk=ray_chunk,
+        k_pairs=k_pairs)
+
     key = jax.random.PRNGKey(rnd_seed)
     kperm, kloop = jax.random.split(key)
     nperm = perms.shape[0]
@@ -399,15 +403,11 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
         b_light_pdf = light_pdf(b_dir, pdf_ng)
 
         # --- one wavefront trace for both ray sets ---
-        all_o = jnp.concatenate([origins, origins], 0)
+        # origins and directions are both stop-gradient: the reference
+        # ignores the shadow boundary term entirely (kernel.cu:96-99)
+        all_o = jax.lax.stop_gradient(jnp.concatenate([origins, origins], 0))
         all_d = jax.lax.stop_gradient(jnp.concatenate([l_dir, b_dir], 0))
-        be = backend or _default_backend()
-        if be == 'pallas':
-            from .pallas_tracer import any_hit_pallas
-            occ = any_hit_pallas(all_o, all_d, bvh, tmin=0.0)
-        else:
-            occ = tracer.any_hit(all_o, all_d, bvh, tmin=0.0,
-                                 ray_chunk=ray_chunk, k_pairs=k_pairs)
+        occ = occlusion_fn(all_o, all_d, bvh)
         vis_l = ~occ[:P]
         vis_b = ~occ[P:]
 

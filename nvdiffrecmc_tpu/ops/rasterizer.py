@@ -177,7 +177,10 @@ def _recompute_bary(v_clip, tri, tid, H, W):
     e1 = jnp.sum(a1 * pix, -1)
     e2 = jnp.sum(a2 * pix, -1)
     s = e0 + e1 + e2
-    s_safe = jnp.where(jnp.abs(s) > 1e-20, s, 1e-20)
+    # guard must survive squaring in fp32 on TPU (subnormals flush to zero):
+    # 1e-15^2 = 1e-30 is still a normal float32
+    s_safe = jnp.where(jnp.abs(s) > 1e-15, s,
+                       jnp.where(s >= 0, 1e-15, -1e-15))
     u = e0 / s_safe
     v = e1 / s_safe
     det = (x[..., 0] * a0[..., 0] + y[..., 0] * a0[..., 1]
@@ -200,9 +203,10 @@ def _recompute_bary(v_clip, tri, tid, H, W):
     db = jnp.stack([dudx * scale_x, dudy * scale_y,
                     dvdx * scale_x, dvdy * scale_y], axis=-1)
 
-    mask = (tid > 0)[..., None].astype(jnp.float32)
-    rast = jnp.stack([u, v, zndc, tid.astype(jnp.float32)], axis=-1) * mask
-    return rast, db * mask
+    mask = (tid > 0)[..., None]
+    rast = jnp.where(mask,
+                     jnp.stack([u, v, zndc, tid.astype(jnp.float32)], -1), 0.0)
+    return rast, jnp.where(mask, db, 0.0)
 
 
 def rasterize(v_clip, tri, resolution,
@@ -261,8 +265,8 @@ def interpolate(attr, rast, attr_idx, rast_db=None):
     v = rast[..., 1:2]
     w = 1.0 - u - v
     out = av[..., 0, :] * u + av[..., 1, :] * v + av[..., 2, :] * w
-    mask = (tid > 0)[..., None].astype(out.dtype)
-    out = out * mask
+    mask = (tid > 0)[..., None]
+    out = jnp.where(mask, out, 0.0)
 
     if rast_db is None:
         return out, None
@@ -270,5 +274,5 @@ def interpolate(attr, rast, attr_idx, rast_db=None):
     d1 = av[..., 1, :] - av[..., 2, :]
     dadx = d0 * rast_db[..., 0:1] + d1 * rast_db[..., 2:3]
     dady = d0 * rast_db[..., 1:2] + d1 * rast_db[..., 3:4]
-    out_da = jnp.concatenate([dadx, dady], axis=-1) * mask
+    out_da = jnp.where(mask, jnp.concatenate([dadx, dady], axis=-1), 0.0)
     return out, out_da

@@ -125,6 +125,35 @@ def any_hit(ro, rd, bvh: LeafBVH, tmin=1e-4, tmax=1e16,
     return occ.reshape(-1)[:R]
 
 
+def make_occlusion_fn(backend='jnp', tmin=0.0, ray_chunk=65536, k_pairs=16):
+    """Return a custom-vjp occlusion function occ(ro, rd, bvh) -> bool [R]
+    with an explicitly-zero backward pass.
+
+    Visibility is binary and the reference deliberately ignores the shadow
+    boundary gradient (kernel.cu:96-99); defining the VJP explicitly also
+    lets jax.checkpoint linearize through the Pallas kernel, which has no
+    JVP rule of its own."""
+
+    @jax.custom_vjp
+    def occlusion(ro, rd, bvh):
+        if backend == 'pallas':
+            from .pallas_tracer import any_hit_pallas
+            return any_hit_pallas(ro, rd, bvh, tmin=tmin)
+        return any_hit(ro, rd, bvh, tmin=tmin, ray_chunk=ray_chunk,
+                       k_pairs=k_pairs)
+
+    def fwd(ro, rd, bvh):
+        return occlusion(ro, rd, bvh), (ro, rd, bvh)
+
+    def bwd(res, g):
+        ro, rd, bvh = res
+        zeros = jax.tree.map(jnp.zeros_like, (ro, rd, bvh))
+        return zeros
+
+    occlusion.defvjp(fwd, bwd)
+    return occlusion
+
+
 def any_hit_bruteforce(ro, rd, v0, v1, v2, tmin=1e-4, tmax=1e16):
     """Reference twin: O(R*T) Moller-Trumbore any-hit in plain jnp, for
     correctness tests (the dual-implementation strategy of the reference,

@@ -1,0 +1,290 @@
+"""Differentiable render pipeline: rasterize -> G-buffer -> Monte-Carlo shade
+-> denoise -> composite.  Parity with /root/reference/render/render.py.
+
+All functions here are pure and jit-friendly: static topology, static layer
+count / spp, RNG threaded explicitly.  `lgt` is a dict with keys
+'base' [Hl,Wl,3] (trainable) and stop-gradient sampling tables
+'pdf' [Hl,Wl], 'rows' [Hl], 'cols' [Hl,Wl] (see light.update_pdf)."""
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import envshade
+from ..ops import denoiser as denoiser_ops
+from ..ops import rasterizer as ras
+from ..ops import xfm
+from ..ops.antialias import antialias
+from ..ops.normal import prepare_shading_normal
+from ..ops.texture import bilinear_sample
+from ..ops.vecmath import pixel_grid, safe_normalize, scale_img_nhwc, avg_pool_nhwc
+from ..ops import mesh_ops
+from . import texture as texture_mod
+
+
+def _sample_material(material, gb_pos, gb_texc, gb_texc_deriv, key):
+    """Texture / neural-texture lookups with jittered second taps for the
+    smoothness regularizer gradients (reference render.py:50-97)."""
+    B, H, W = gb_pos.shape[:3]
+    k1, k2 = jax.random.split(key)
+    perturbed_nrm = None
+    if 'kd_ks' in material:
+        sample_fn = material['kd_ks']  # callable: pos [.,3] -> [.,6]
+        noise = jax.random.normal(k2, gb_pos.shape) * 0.01
+        all_tex_jitter = sample_fn(gb_pos + noise)
+        all_tex = sample_fn(gb_pos)
+        kd, ks = all_tex[..., 0:3], all_tex[..., 3:6]
+        kd_grad = jnp.abs(all_tex_jitter[..., 0:3] - kd)
+        ks_grad = jnp.abs(all_tex_jitter[..., 3:6] - ks) * jnp.array([0., 1., 1.])
+        kd_full = kd
+        return kd_full, ks, None, kd_grad, ks_grad, None
+    kd = material['kd'].sample(gb_texc, gb_texc_deriv)
+    ks = material['ks'].sample(gb_texc, gb_texc_deriv)[..., 0:3]
+    if 'normal' in material:
+        perturbed_nrm = material['normal'].sample(gb_texc, gb_texc_deriv)
+    return kd, ks, perturbed_nrm, None, None, None
+
+
+def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
+          gb_tangent, gb_texc, gb_texc_deriv, view_pos, lgt, material, bvh,
+          bsdf, denoiser_sigma, shadow_scale, rnd_seed, perms, key):
+    """Pixel shader (reference render.py:30-164).  Returns a dict of aux
+    buffers, each [B,H,W,4] with alpha in the last channel."""
+    B, H, W = gb_depth.shape[:3]
+    kj, km, kn = jax.random.split(key, 3)
+
+    offset = jax.random.normal(kj, (B, H, W, 2)) * 0.005
+    jitter = pixel_grid(W, H)[None] + offset
+
+    mask = (rast[..., -1:] > 0).astype(jnp.float32)
+    mask_tap = bilinear_sample(mask, jitter, boundary_mode='clamp')
+    grad_weight = mask * mask_tap
+
+    # --- texture lookups ---
+    kd_grad = ks_grad = None
+    perturbed_nrm = None
+    if 'kd_ks' in material:
+        sample_fn = material['kd_ks']
+        noise = jax.random.normal(km, gb_pos.shape) * 0.01
+        all_tex_jitter = sample_fn(gb_pos + noise)
+        all_tex = sample_fn(gb_pos)
+        kd, ks = all_tex[..., 0:3], all_tex[..., 3:6]
+        kd_grad = jnp.abs(all_tex_jitter[..., 0:3] - kd)
+        ks_grad = jnp.abs(all_tex_jitter[..., 3:6] - ks) * jnp.array([0., 1., 1.])
+    else:
+        kd = material['kd'].sample(gb_texc, gb_texc_deriv)
+        ks = material['ks'].sample(gb_texc, gb_texc_deriv)[..., 0:3]
+        if 'normal' in material:
+            perturbed_nrm = material['normal'].sample(gb_texc, gb_texc_deriv)
+        kd_jitter = bilinear_sample(kd, jitter, boundary_mode='clamp')
+        ks_jitter = bilinear_sample(ks, jitter, boundary_mode='clamp')
+        kd_grad = jnp.abs(kd_jitter[..., 0:3] - kd[..., 0:3]) * grad_weight
+        ks_grad = (jnp.abs(ks_jitter - ks) * jnp.array([0., 1., 1.])
+                   * grad_weight)
+
+    alpha = kd[..., 3:4] if kd.shape[-1] == 4 else jnp.ones_like(kd[..., 0:1])
+    kd = kd[..., 0:3]
+
+    # --- normal perturbation & bend ---
+    if material.get('no_perturbed_nrm', False):
+        perturbed_nrm = None
+
+    nrm_jitter = bilinear_sample(gb_normal, jitter, boundary_mode='clamp')
+    nrm_grad = jnp.abs(nrm_jitter - gb_normal) * grad_weight
+
+    perturbed_nrm_grad = None
+    if perturbed_nrm is not None:
+        pn_jitter = bilinear_sample(perturbed_nrm, jitter, boundary_mode='clamp')
+        perturbed_nrm_grad = 1.0 - safe_normalize(
+            safe_normalize(pn_jitter) + safe_normalize(perturbed_nrm))[..., 2:3]
+        perturbed_nrm_grad = jnp.repeat(perturbed_nrm_grad, 3, axis=-1) * grad_weight
+
+    gb_normal_shaded = prepare_shading_normal(
+        gb_pos, view_pos, perturbed_nrm, gb_normal, gb_tangent,
+        gb_geometric_normal, two_sided_shading=True, opengl=True)
+
+    # --- evaluate BSDF ---
+    bsdf = material['bsdf'] if bsdf is None else bsdf
+    diffuse_accum = specular_accum = None
+    if bsdf in ('pbr', 'diffuse', 'white'):
+        kd_shade = jnp.ones_like(kd) if bsdf == 'white' else kd
+        ro = gb_pos + gb_normal_shaded * 0.001
+        ibsdf = ['pbr', 'diffuse', 'white'].index(bsdf)
+        view_pos_b = jnp.broadcast_to(view_pos, gb_pos.shape)
+        diffuse_accum, specular_accum = envshade.env_shade(
+            rast[..., -1], ro, gb_pos, gb_normal_shaded, view_pos_b, kd_shade,
+            ks, lgt['base'], lgt['pdf'], lgt['rows'], lgt['cols'], bvh, perms,
+            rnd_seed, shadow_scale, BSDF=ibsdf,
+            n_samples_x=FLAGS['n_samples'])
+
+        if denoiser_sigma is not None and FLAGS.get('denoiser_demodulate', True):
+            diffuse_accum = denoiser_ops.bilateral_denoiser(
+                diffuse_accum, gb_normal_shaded, gb_depth, denoiser_sigma)
+            specular_accum = denoiser_ops.bilateral_denoiser(
+                specular_accum, gb_normal_shaded, gb_depth, denoiser_sigma)
+
+        if bsdf in ('white', 'diffuse'):
+            shaded_col = diffuse_accum * kd_shade
+        else:
+            kd = kd * (1.0 - ks[..., 2:3])  # kd * (1 - metalness)
+            shaded_col = diffuse_accum * kd + specular_accum
+
+        if denoiser_sigma is not None and not FLAGS.get('denoiser_demodulate', True):
+            shaded_col = denoiser_ops.bilateral_denoiser(
+                shaded_col, gb_normal_shaded, gb_depth, denoiser_sigma)
+    elif bsdf == 'normal':
+        shaded_col = (gb_normal_shaded + 1.0) * 0.5
+    elif bsdf == 'tangent':
+        shaded_col = (gb_tangent + 1.0) * 0.5
+    elif bsdf == 'kd':
+        shaded_col = kd
+    elif bsdf == 'ks':
+        shaded_col = ks
+    else:
+        raise AssertionError("Invalid BSDF '%s'" % bsdf)
+
+    buffers = {
+        'shaded': jnp.concatenate((shaded_col, alpha), axis=-1),
+        'z_grad': jnp.concatenate((gb_depth, jnp.zeros_like(alpha), alpha), -1),
+        'normal': jnp.concatenate((gb_normal_shaded, alpha), -1),
+        'geometric_normal': jnp.concatenate((gb_geometric_normal, alpha), -1),
+        'kd': jnp.concatenate((kd, alpha), -1),
+        'ks': jnp.concatenate((ks, alpha), -1),
+        'kd_grad': jnp.concatenate((kd_grad, alpha), -1),
+        'ks_grad': jnp.concatenate((ks_grad, alpha), -1),
+        'normal_grad': jnp.concatenate((nrm_grad, alpha), -1),
+    }
+    if diffuse_accum is not None:
+        buffers['diffuse_light'] = jnp.concatenate((diffuse_accum, alpha), -1)
+        buffers['specular_light'] = jnp.concatenate((specular_accum, alpha), -1)
+    if perturbed_nrm is not None:
+        buffers['perturbed_nrm'] = jnp.concatenate((perturbed_nrm, alpha), -1)
+        buffers['perturbed_nrm_grad'] = jnp.concatenate(
+            (perturbed_nrm_grad, alpha), -1)
+    return buffers
+
+
+def render_layer(FLAGS, v_pos_clip, rast, rast_deriv, mesh, view_pos, lgt,
+                 resolution, spp, msaa, bvh, bsdf, denoiser_sigma,
+                 shadow_scale, rnd_seed, perms, key):
+    """G-buffer interpolation + shading for one depth layer
+    (reference render.py:172-253)."""
+    full_res = [resolution[0] * spp, resolution[1] * spp]
+
+    if spp > 1 and msaa:
+        rast_out_s = scale_img_nhwc(rast, resolution, mag='nearest', min='nearest')
+        rast_out_deriv_s = scale_img_nhwc(rast_deriv, resolution,
+                                          mag='nearest', min='nearest') * spp
+    else:
+        rast_out_s = rast
+        rast_out_deriv_s = rast_deriv
+
+    gb_pos, _ = ras.interpolate(mesh.v_pos, rast_out_s, mesh.t_pos_idx)
+
+    face_normals = mesh_ops.face_normals(mesh.v_pos, mesh.t_pos_idx)
+    fn_idx = jnp.tile(jnp.arange(face_normals.shape[0], dtype=jnp.int32)[:, None],
+                      (1, 3))
+    gb_geometric_normal, _ = ras.interpolate(face_normals, rast_out_s, fn_idx)
+
+    gb_normal, _ = ras.interpolate(mesh.v_nrm, rast_out_s, mesh.t_nrm_idx)
+    gb_tangent, _ = ras.interpolate(mesh.v_tng, rast_out_s, mesh.t_tng_idx)
+    gb_texc, gb_texc_deriv = ras.interpolate(
+        mesh.v_tex, rast_out_s, mesh.t_tex_idx, rast_db=rast_out_deriv_s)
+
+    # depth & depth gradient (stop-gradient, reference render.py:228-234)
+    eps = 1e-5
+    clip_pos, clip_pos_deriv = ras.interpolate(
+        jax.lax.stop_gradient(v_pos_clip[0]), rast_out_s, mesh.t_pos_idx,
+        rast_db=rast_out_deriv_s)
+    clip_pos = jax.lax.stop_gradient(clip_pos)
+    clip_pos_deriv = jax.lax.stop_gradient(clip_pos_deriv)
+    # screen-derivative magnitude of (z, w): deriv output is (dA/dX, dA/dY)
+    dz = jnp.abs(clip_pos_deriv[..., 2:3]) + jnp.abs(clip_pos_deriv[..., 6:7])
+    dw = jnp.abs(clip_pos_deriv[..., 3:4]) + jnp.abs(clip_pos_deriv[..., 7:8])
+    z0 = jnp.clip(clip_pos[..., 2:3], min=eps) / jnp.clip(clip_pos[..., 3:4], min=eps)
+    z1 = (jnp.clip(clip_pos[..., 2:3] + dz, min=eps)
+          / jnp.clip(clip_pos[..., 3:4] + dw, min=eps))
+    gb_depth = jnp.concatenate((z0, jnp.abs(z1 - z0)), axis=-1)
+
+    buffers = shade(FLAGS, rast_out_s, gb_depth, gb_pos, gb_geometric_normal,
+                    gb_normal, gb_tangent, gb_texc, gb_texc_deriv, view_pos,
+                    lgt, mesh.material, bvh, bsdf, denoiser_sigma,
+                    shadow_scale, rnd_seed, perms, key)
+
+    if spp > 1 and msaa:
+        buffers = {k: scale_img_nhwc(v, full_res, mag='nearest', min='nearest')
+                   for k, v in buffers.items()}
+    return buffers
+
+
+def render_mesh(FLAGS, mesh, mtx_in, view_pos, lgt, resolution, bvh, perms,
+                key, spp=1, num_layers=1, msaa=False, background=None,
+                bsdf=None, denoiser_sigma=None, shadow_scale=1.0, rnd_seed=0):
+    """Depth-peeled differentiable render (reference render.py:262-332).
+
+    mtx_in: [B,4,4]; view_pos: [B,3]; returns dict of [B,H*spp,W*spp,4]
+    buffers composited front-to-back with per-layer antialiasing."""
+    full_res = [resolution[0] * spp, resolution[1] * spp]
+
+    view_pos = view_pos[:, None, None, :]
+    v_pos_clip = xfm.xfm_points(mesh.v_pos, mtx_in)
+
+    layers = []
+    prev_rast = None
+    keys = jax.random.split(key, num_layers)
+    for i in range(num_layers):
+        rast, rast_db = ras.rasterize(v_pos_clip, mesh.t_pos_idx, full_res,
+                                      prev_rast=prev_rast)
+        prev_rast = rast
+        buffers = render_layer(FLAGS, v_pos_clip, rast, rast_db, mesh,
+                               view_pos, lgt, resolution, spp, msaa, bvh,
+                               bsdf, denoiser_sigma, shadow_scale,
+                               rnd_seed + i, perms, keys[i])
+        layers.append((buffers, rast))
+
+    if background is not None:
+        if spp > 1:
+            background = scale_img_nhwc(background, full_res,
+                                        mag='nearest', min='nearest')
+        background = jnp.concatenate(
+            (background, jnp.zeros_like(background[..., 0:1])), axis=-1)
+    else:
+        B = mtx_in.shape[0]
+        background = jnp.zeros((B, full_res[0], full_res[1], 4))
+
+    def composite_buffer(k, bg, do_aa):
+        accum = bg
+        for buffers, rast in reversed(layers):
+            alpha = (rast[..., -1:] > 0).astype(jnp.float32) * buffers[k][..., -1:]
+            src = jnp.concatenate(
+                (buffers[k][..., :-1], jnp.ones_like(buffers[k][..., -1:])), -1)
+            accum = accum * (1.0 - alpha) + src * alpha
+            if do_aa:
+                accum = antialias(accum, rast, v_pos_clip, mesh.t_pos_idx)
+        return accum
+
+    out_buffers = {}
+    for k in layers[0][0].keys():
+        if k == 'shaded':
+            accum = composite_buffer(k, background, True)
+        else:
+            accum = composite_buffer(k, jnp.zeros_like(layers[0][0][k]), True)
+        out_buffers[k] = avg_pool_nhwc(accum, spp) if spp > 1 else accum
+    return out_buffers
+
+
+def render_uv(mesh, resolution, mlp_sample_fn):
+    """Rasterize in UV space to bake the neural material into 2D textures
+    (reference render.py:337-354).  Returns (mask, kd, ks)."""
+    uv_clip = mesh.v_tex[None] * 2.0 - 1.0
+    uv_clip4 = jnp.concatenate(
+        (uv_clip, jnp.zeros_like(uv_clip[..., 0:1]),
+         jnp.ones_like(uv_clip[..., 0:1])), axis=-1)
+    rast, _ = ras.rasterize(uv_clip4, mesh.t_tex_idx, resolution)
+    gb_pos, _ = ras.interpolate(mesh.v_pos, rast, mesh.t_pos_idx)
+    all_tex = mlp_sample_fn(gb_pos)
+    assert all_tex.shape[-1] == 6, "Combined kd_ks must be 6 channels"
+    mask = (rast[..., -1:] > 0).astype(jnp.float32)
+    return mask, all_tex[..., 0:3], all_tex[..., 3:6]
