@@ -68,6 +68,8 @@ DEFAULTS = dict(
     lambda_specular=0.0025,
     # TPU-framework extensions
     data_root='/root/reference',
+    resume=False,
+    checkpoint_interval=0,
     leaf_size=128,
     max_tris=None,
     out_root='out',
@@ -94,7 +96,7 @@ def parse_flags(argv=None):
                         choices=['black', 'white', 'checker', 'reference'])
     parser.add_argument('--loss', default='logl1',
                         choices=['logl1', 'logl2', 'mse', 'smape',
-                                 'relativel2'])
+                                 'relativel2', 'n2n'])
     parser.add_argument('-o', '--out-dir', type=str, default=None)
     parser.add_argument('--config', type=str, default=None)
     parser.add_argument('-rm', '--ref_mesh', type=str)

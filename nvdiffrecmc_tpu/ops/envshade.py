@@ -407,7 +407,19 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
         # ignores the shadow boundary term entirely (kernel.cu:96-99)
         all_o = jax.lax.stop_gradient(jnp.concatenate([origins, origins], 0))
         all_d = jax.lax.stop_gradient(jnp.concatenate([l_dir, b_dir], 0))
-        occ = occlusion_fn(all_o, all_d, bvh)
+        # direction-octant binning: the wavefront kernel culls per ray *block*
+        # (any ray in a block hitting a leaf AABB triggers the whole block's
+        # triangle test), so grouping rays with similar directions sharply
+        # reduces per-block leaf-hit unions; masked pixels get a zero
+        # direction so they cluster into inert blocks (PERF_NOTES.md).
+        m2 = jnp.concatenate([m, m], 0)[:, None]
+        all_d = jnp.where(m2, all_d, 0.0)
+        octant = ((all_d[:, 0] > 0) * 4 + (all_d[:, 1] > 0) * 2
+                  + (all_d[:, 2] > 0)).astype(jnp.int32)
+        octant = jnp.where(m2[:, 0], octant, 8)  # sentinel bin for masked
+        order = jnp.argsort(octant)
+        occ_sorted = occlusion_fn(all_o[order], all_d[order], bvh)
+        occ = jnp.zeros_like(occ_sorted).at[order].set(occ_sorted)
         vis_l = ~occ[:P]
         vis_b = ~occ[P:]
 
@@ -421,6 +433,37 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
 
     mf = m[:, None].astype(jnp.float32)
     return (diff * mf).reshape(B, H, W, 3), (spec * mf).reshape(B, H, W, 3)
+
+
+def env_shade_decorrelated(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd,
+                           gb_ks, light_base, light_pdf_tex, rows, cols, bvh,
+                           perms, fwd_seed, bwd_seed, shadow_scale, BSDF=0,
+                           n_samples_x=8):
+    """Decorrelated forward/backward sampling (reference FLAGS.decorrelated,
+    train.py:547 + ops.py:83,100): the forward estimator uses fwd_seed; the
+    backward pass replays the estimator with an independent bwd_seed, so the
+    gradient estimate is statistically independent of the rendered value
+    (both remain unbiased)."""
+
+    def run(seed, lb, pos, nrm, vp, kd, ks):
+        return env_shade(mask, ro, pos, nrm, vp, kd, ks, lb, light_pdf_tex,
+                         rows, cols, bvh, perms, seed, shadow_scale,
+                         BSDF=BSDF, n_samples_x=n_samples_x)
+
+    @jax.custom_vjp
+    def f(lb, pos, nrm, vp, kd, ks):
+        return run(fwd_seed, lb, pos, nrm, vp, kd, ks)
+
+    def fwd(lb, pos, nrm, vp, kd, ks):
+        return run(fwd_seed, lb, pos, nrm, vp, kd, ks), (lb, pos, nrm, vp,
+                                                         kd, ks)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda *a: run(bwd_seed, *a), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f(light_base, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks)
 
 
 def make_perms(n_samples_x, n_tables=32768, seed=0x5eed):

@@ -72,8 +72,9 @@ def _kernel(rayf_ref, aabb_ref, trimat_ref, occ_ref, *, n_leaves, leaf_size,
         """Division-free any-hit against leaf c for rays in `alive`.
         With t = -b/a: t>0 <=> -b*a > 0; q_i = alpha_i + t*beta_i >= 0
         <=> s_i * a >= 0 where s_i = a*alpha_i - b*beta_i."""
-        M = trimat_ref[c].astype(jnp.float32)         # [8, 8L] field-major
-        E = jnp.dot(rayf, M, preferred_element_type=jnp.float32)
+        M = trimat_ref[c]                             # [8, 8L] field-major
+        E = jnp.dot(rayf.astype(M.dtype), M,
+                    preferred_element_type=jnp.float32)
         b_ = E[:, 0 * L:1 * L]
         a = E[:, 1 * L:2 * L]
         ba = (b_ + tmin * a) * a          # t > tmin  <=>  ba < 0
@@ -110,7 +111,7 @@ def _kernel(rayf_ref, aabb_ref, trimat_ref, occ_ref, *, n_leaves, leaf_size,
 @functools.partial(jax.jit, static_argnames=('ray_block', 'tmin', 'tmax',
                                              'interpret'))
 def any_hit_pallas(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
-                   ray_block=512, interpret=False):
+                   ray_block=1024, interpret=False):
     """Pallas any-hit over a LeafBVH.  ro/rd: [R, 3].  Returns bool [R].
 
     Note: tmax is accepted for interface parity but shadow rays are treated
@@ -130,6 +131,8 @@ def any_hit_pallas(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
         axis=-1)
     # [C, 8, 8L]: pad the 7-row intersection matrix to 8 rows
     trimat = jnp.pad(bvh.tri_mat, ((0, 0), (0, 1), (0, 0)))
+    if trimat.dtype == jnp.bfloat16:
+        rayf = rayf  # cast happens per-block inside the kernel
     aabb = jnp.concatenate([bvh.aabb_lo, bvh.aabb_hi], axis=-1)  # [C, 6]
 
     kern = functools.partial(_kernel, n_leaves=C, leaf_size=L,

@@ -109,7 +109,10 @@ def _read_hdr(path):
     rgbe = img.astype(np.float32)
     e = rgbe[..., 3]
     scale = np.where(e > 0, np.ldexp(1.0, e.astype(np.int32) - 136), 0.0)
-    return rgbe[..., :3] * scale[..., None]
+    # +0.5: mantissas are floor-quantized, decode at bin centers (Radiance
+    # colr_color convention)
+    return np.where(e[..., None] > 0, (rgbe[..., :3] + 0.5) * scale[..., None],
+                    0.0)
 
 
 def _write_hdr(path, img):
@@ -121,7 +124,8 @@ def _write_hdr(path, img):
     e[m] = np.ceil(np.log2(maxc[m])).astype(np.int32) + 1
     scale = np.ldexp(1.0, -e + 8)
     rgbe = np.zeros((H, W, 4), np.uint8)
-    q = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    with np.errstate(invalid='ignore'):
+        q = np.clip(np.floor(img * scale[..., None]), 0, 255).astype(np.uint8)
     rgbe[..., :3] = np.where(m[..., None], q, 0)
     rgbe[..., 3] = np.where(m, e + 128, 0).astype(np.uint8)
     with open(path, 'wb') as f:

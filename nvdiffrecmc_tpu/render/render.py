@@ -113,11 +113,18 @@ def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
         ro = gb_pos + gb_normal_shaded * 0.001
         ibsdf = ['pbr', 'diffuse', 'white'].index(bsdf)
         view_pos_b = jnp.broadcast_to(view_pos, gb_pos.shape)
-        diffuse_accum, specular_accum = envshade.env_shade(
-            rast[..., -1], ro, gb_pos, gb_normal_shaded, view_pos_b, kd_shade,
-            ks, lgt['base'], lgt['pdf'], lgt['rows'], lgt['cols'], bvh, perms,
-            rnd_seed, shadow_scale, BSDF=ibsdf,
-            n_samples_x=FLAGS['n_samples'])
+        if FLAGS.get('decorrelated', False):
+            diffuse_accum, specular_accum = envshade.env_shade_decorrelated(
+                rast[..., -1], ro, gb_pos, gb_normal_shaded, view_pos_b,
+                kd_shade, ks, lgt['base'], lgt['pdf'], lgt['rows'],
+                lgt['cols'], bvh, perms, rnd_seed, rnd_seed + 0x77777,
+                shadow_scale, BSDF=ibsdf, n_samples_x=FLAGS['n_samples'])
+        else:
+            diffuse_accum, specular_accum = envshade.env_shade(
+                rast[..., -1], ro, gb_pos, gb_normal_shaded, view_pos_b,
+                kd_shade, ks, lgt['base'], lgt['pdf'], lgt['rows'],
+                lgt['cols'], bvh, perms, rnd_seed, shadow_scale, BSDF=ibsdf,
+                n_samples_x=FLAGS['n_samples'])
 
         if denoiser_sigma is not None and FLAGS.get('denoiser_demodulate', True):
             diffuse_accum = denoiser_ops.bilateral_denoiser(

@@ -48,6 +48,19 @@ from nvdiffrecmc_tpu.render.texture import save_image
 RADIUS = 3.0
 
 
+def display_image(image, title=None, out_dir='.'):
+    """Live display: GLFW/OpenGL window when available (reference
+    util.py:316-353); headless fallback writes out_dir/display.png."""
+    try:
+        import glfw  # noqa: F401
+        import OpenGL.GL  # noqa: F401
+        from nvdiffrecmc_tpu.utils.gl_display import gl_display
+        return gl_display(image, title)
+    except Exception:
+        save_image(os.path.join(out_dir, 'display.png'), image)
+        return True
+
+
 ###############################################################################
 # Loss setup (reference train.py:52-66)
 ###############################################################################
@@ -59,6 +72,7 @@ def createLoss(FLAGS):
         'logl1': ('l1', 'log_srgb'),
         'logl2': ('mse', 'log_srgb'),
         'relativel2': ('relmse', 'none'),
+        'n2n': ('n2n', 'none'),
     }
     lo, tm = table[FLAGS['loss']]
     return lambda img, ref: loss_ops.image_loss(img, ref, loss=lo, tonemapper=tm)
@@ -394,11 +408,20 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
     it_batches = batch_iterator(dataset_train, FLAGS['batch'], shuffle=True)
     key = jax.random.PRNGKey(42 + pass_idx)
 
+    ckpt_path = os.path.join(FLAGS['out_dir'],
+                             'checkpoint_%s.pkl' % pass_name)
+    start_it = 0
+    if FLAGS.get('resume') and os.path.exists(ckpt_path):
+        params, opt_state, start_it = load_checkpoint(ckpt_path)
+        start_it = int(start_it) + 1
+        print('Resumed %s from iteration %d' % (ckpt_path, start_it))
+
     img_loss_vec, reg_loss_vec, iter_dur_vec = [], [], []
     img_cnt = 0
     v_it = batch_iterator(dataset_validate, 1, shuffle=False)
 
-    for it in range(FLAGS['iter']):
+    ckpt_interval = FLAGS.get('checkpoint_interval', 0)
+    for it in range(start_it, FLAGS['iter']):
         target_np = next(it_batches)
         key, kb, ks_ = jax.random.split(key, 3)
         prepared = prepare_batch(target_np, FLAGS['train_res'], 'random', kb,
@@ -406,19 +429,27 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
         target = {k: prepared[k]
                   for k in ('img', 'mvp', 'campos', 'background')}
 
+        display_now = FLAGS['display_interval'] and \
+            (it % FLAGS['display_interval'] == 0)
         save_image_now = FLAGS['save_interval'] and \
             (it % FLAGS['save_interval'] == 0)
-        if save_image_now:
+        if save_image_now or display_now:
             vt = prepare_batch(next(v_it), FLAGS['train_res'],
                                FLAGS['background'], kb, FLAGS)
             result_image, _ = validate_itr(
                 vt, dataset_validate.getMesh(), geometry, params['geo'],
                 params['mat'], mat_static, params['light'], FLAGS,
                 denoiser_on)
-            save_image(os.path.join(FLAGS['out_dir'],
-                                    'img_%s_%06d.png' % (pass_name, img_cnt)),
-                       np.asarray(result_image))
-            img_cnt += 1
+            if display_now:
+                display_image(np.asarray(result_image),
+                              title='%d / %d' % (it, FLAGS['iter']),
+                              out_dir=FLAGS['out_dir'])
+            if save_image_now:
+                save_image(os.path.join(
+                    FLAGS['out_dir'],
+                    'img_%s_%06d.png' % (pass_name, img_cnt)),
+                    np.asarray(result_image))
+                img_cnt += 1
 
         t0 = time.time()
         params, opt_state, img_loss, reg_loss = train_step(
@@ -441,6 +472,9 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
         img_loss_vec.append(img_loss_f)
         reg_loss_vec.append(reg_loss_f)
 
+        if ckpt_interval and it > 0 and it % ckpt_interval == 0:
+            save_checkpoint(ckpt_path, params, opt_state, it)
+
         if log_interval and (it % log_interval == 0):
             rem = (FLAGS['iter'] - it) * np.mean(iter_dur_vec[-log_interval:])
             print("iter=%5d, img_loss=%.6f, reg_loss=%.6f, time=%.1f ms, rem=%s"
@@ -450,6 +484,28 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
                      vecmath.time_to_text(rem)), flush=True)
 
     return params
+
+
+###############################################################################
+# Checkpointing (new capability vs the reference, which persists nothing
+# mid-pass — SURVEY.md section 5)
+###############################################################################
+
+def save_checkpoint(path, params, opt_state, it):
+    import pickle
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    flat, treedef = jax.tree_util.tree_flatten((params, opt_state, it))
+    with open(path, 'wb') as f:
+        pickle.dump({'treedef': treedef,
+                     'leaves': [np.asarray(x) for x in flat]}, f)
+
+
+def load_checkpoint(path):
+    import pickle
+    with open(path, 'rb') as f:
+        d = pickle.load(f)
+    return jax.tree_util.tree_unflatten(
+        d['treedef'], [jnp.asarray(x) for x in d['leaves']])
 
 
 ###############################################################################
@@ -517,6 +573,16 @@ def validate_itr(target, ref_mesh, geometry, geo_params, mat_params,
                 if layer['bsdf'] == 'kd':
                     img = vecmath.rgb_to_srgb(img)
                 result_dict[layer['bsdf']] = img
+                result_image = jnp.concatenate([result_image, img], axis=1)
+            elif 'normals' in layer and not FLAGS['no_perturbed_nrm'] \
+                    and 'perturbed_nrm' in buffers:
+                img = (buffers['perturbed_nrm'][0, ..., 0:3] + 1.0) * 0.5
+                result_image = jnp.concatenate([result_image, img], axis=1)
+            elif 'diffuse_light' in layer and 'diffuse_light' in buffers:
+                img = vecmath.rgb_to_srgb(buffers['diffuse_light'][..., 0:3])[0]
+                result_image = jnp.concatenate([result_image, img], axis=1)
+            elif 'specular_light' in layer and 'specular_light' in buffers:
+                img = vecmath.rgb_to_srgb(buffers['specular_light'][..., 0:3])[0]
                 result_image = jnp.concatenate([result_image, img], axis=1)
     return result_image, result_dict
 
