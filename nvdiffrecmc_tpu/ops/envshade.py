@@ -63,10 +63,39 @@ def tc_to_dir(uv):
 ONE_MINUS_EPS = 0.99999994
 
 
+def _kensler_permute_pow2(i, l, p):
+    """Pseudorandom bijection on [0, l) for power-of-two l (Kensler,
+    'Correlated Multi-Jittered Sampling', masked hash rounds).  Replaces the
+    32k-permutation table gathers with pure ALU work."""
+    w = jnp.uint32(l - 1)
+    i = i.astype(jnp.uint32)
+    p = p.astype(jnp.uint32)
+    i ^= p
+    i *= jnp.uint32(0xe170893d)
+    i ^= p >> 16
+    i ^= (i & w) >> 4
+    i ^= p >> 8
+    i *= jnp.uint32(0x0929eb3f)
+    i ^= p >> 23
+    i ^= (i & w) >> 1
+    i *= jnp.uint32(1) | p >> 27
+    i *= jnp.uint32(0x6935fa69)
+    i ^= (i & w) >> 11
+    i *= jnp.uint32(0x74dcca23)
+    i ^= (i & w) >> 2
+    i *= jnp.uint32(0x9e501cc3)
+    i ^= (i & w) >> 2
+    i *= jnp.uint32(0xc860a3df)
+    i &= w
+    return i.astype(jnp.int32)
+
+
 def _sample_cdf_1d(cdf, x):
-    """Invert a normalized 1-D CDF [K] at x [...]; returns (idx, pdf, frac)."""
+    """Invert a normalized 1-D CDF [K] at x [...]; returns (idx, pdf, frac).
+    idx by compare-sum (vectorized over the whole CDF: cheaper than the
+    gather-based binary search on TPU for K <= a few hundred)."""
     x = jnp.minimum(x, ONE_MINUS_EPS)
-    idx = jnp.searchsorted(cdf, x, side='right').astype(jnp.int32)
+    idx = jnp.sum(x[..., None] >= cdf[None, :], axis=-1).astype(jnp.int32)
     idx = jnp.clip(idx, 0, cdf.shape[0] - 1)
     hi = cdf[idx]
     lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
@@ -359,8 +388,10 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
     key = jax.random.PRNGKey(rnd_seed)
     kperm, kloop = jax.random.split(key)
     nperm = perms.shape[0]
-    light_perm = jax.random.randint(jax.random.fold_in(kperm, 0), (P,), 0, nperm)
-    bsdf_perm = jax.random.randint(jax.random.fold_in(kperm, 1), (P,), 0, nperm)
+    n2_pow2 = (n_samples_x * n_samples_x) & (n_samples_x * n_samples_x - 1) == 0
+    hi = 2 ** 31 - 1 if n2_pow2 else nperm
+    light_perm = jax.random.randint(jax.random.fold_in(kperm, 0), (P,), 0, hi)
+    bsdf_perm = jax.random.randint(jax.random.fold_in(kperm, 1), (P,), 0, hi)
 
     # stop-grad tables for the sampling decisions
     rows_ng = jax.lax.stop_gradient(rows)
@@ -388,14 +419,22 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
         u = jax.random.uniform(k, (P, 5))
 
         # --- light importance sample ---
-        cell_l = perms[light_perm, i]
+        if n2 & (n2 - 1) == 0:  # power-of-two strata: arithmetic permutation
+            cell_l = _kensler_permute_pow2(jnp.full((P,), 0, jnp.uint32) + i,
+                                           n2, light_perm)
+        else:
+            cell_l = perms[light_perm, i]
         sx = ((cell_l % n_samples_x).astype(jnp.float32) + u[:, 0]) * strata_frac
         sy = ((cell_l // n_samples_x).astype(jnp.float32) + u[:, 1]) * strata_frac
         l_dir, l_pdf = light_sample(rows_ng, cols_ng, pdf_ng, sx, sy)
         l_bsdf_pdf = bsdf_pdf_fn(p_diffuse_ng, nrm_ng, wo_ng, l_dir, alpha_ng)
 
         # --- BSDF sample ---
-        cell_b = perms[bsdf_perm, i]
+        if n2 & (n2 - 1) == 0:
+            cell_b = _kensler_permute_pow2(jnp.full((P,), 0, jnp.uint32) + i,
+                                           n2, bsdf_perm)
+        else:
+            cell_b = perms[bsdf_perm, i]
         bx = ((cell_b % n_samples_x).astype(jnp.float32) + u[:, 2]) * strata_frac
         by = ((cell_b // n_samples_x).astype(jnp.float32) + u[:, 3]) * strata_frac
         b_dir, b_pdf = bsdf_sample(p_diffuse_ng, nrm_ng, wo_ng, bx, by,
@@ -417,9 +456,10 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
         octant = ((all_d[:, 0] > 0) * 4 + (all_d[:, 1] > 0) * 2
                   + (all_d[:, 2] > 0)).astype(jnp.int32)
         octant = jnp.where(m2[:, 0], octant, 8)  # sentinel bin for masked
-        order = jnp.argsort(octant)
-        occ_sorted = occlusion_fn(all_o[order], all_d[order], bvh)
-        occ = jnp.zeros_like(occ_sorted).at[order].set(occ_sorted)
+        from .pallas_tracer import counting_sort_perm
+        perm, dest = counting_sort_perm(octant, 9)
+        occ_sorted = occlusion_fn(all_o[perm], all_d[perm], bvh)
+        occ = occ_sorted[dest]
         vis_l = ~occ[:P]
         vis_b = ~occ[P:]
 
