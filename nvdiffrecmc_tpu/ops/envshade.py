@@ -105,23 +105,50 @@ def _sample_cdf_1d(cdf, x):
 
 
 def _sample_cdf_rows_of(cols, y, x):
-    """Invert per-row CDFs cols [H, W] at rows y [...] and values x [...]
-    via a vectorized binary search with flat gathers."""
+    """Invert per-row CDFs cols [H, W] at rows y [...] and values x [...].
+
+    Two-level exact inversion: each row is decomposed into W/16 superblocks
+    of 16 texels; a row-gather of the superblock cumulative values + a
+    16-wide compare-sum finds the block, a second contiguous 16-float gather
+    + compare-sum finds the texel.  Two 64-byte gathers per sample instead of
+    the log2(W)+2 scalar gathers of a binary search (PERF_NOTES.md)."""
     H, W = cols.shape
-    flat = cols.reshape(-1)
     x = jnp.minimum(x, ONE_MINUS_EPS)
-    lo_i = jnp.zeros_like(y)
-    hi_i = jnp.full_like(y, W - 1)
-    steps = int(np.ceil(np.log2(max(W - 1, 2)))) + 1
-    for _ in range(steps):
-        mid = (lo_i + hi_i) // 2
-        cm = flat[y * W + mid]
-        ge = x >= cm
-        lo_i = jnp.where(ge, mid, lo_i)
-        hi_i = jnp.where(ge, hi_i, mid)
-    idx = hi_i
-    hi = flat[y * W + idx]
-    lo = jnp.where(idx > 0, flat[y * W + jnp.maximum(idx - 1, 0)], 0.0)
+    B = 16
+    if W % B != 0:
+        # fallback: gather-based binary search
+        flat = cols.reshape(-1)
+        lo_i = jnp.zeros_like(y)
+        hi_i = jnp.full_like(y, W - 1)
+        steps = int(np.ceil(np.log2(max(W - 1, 2)))) + 1
+        for _ in range(steps):
+            mid = (lo_i + hi_i) // 2
+            cm = flat[y * W + mid]
+            ge = x >= cm
+            lo_i = jnp.where(ge, mid, lo_i)
+            hi_i = jnp.where(ge, hi_i, mid)
+        idx = hi_i
+        hi = flat[y * W + idx]
+        lo = jnp.where(idx > 0, flat[y * W + jnp.maximum(idx - 1, 0)], 0.0)
+        pdf = hi - lo
+        frac = jnp.minimum((x - lo) / jnp.maximum(pdf, 1e-12), ONE_MINUS_EPS)
+        return idx, pdf, frac
+
+    S = W // B
+    blocks = cols.reshape(H, S, B)
+    sup = blocks[..., -1]                               # [H, S]
+    sup_rows = sup[y]                                   # [P, S]
+    sup_idx = jnp.clip(jnp.sum(x[..., None] >= sup_rows, -1), 0, S - 1)
+    blk = blocks[y, sup_idx]                            # [P, B]
+    sub = jnp.clip(jnp.sum(x[..., None] >= blk, -1), 0, B - 1)
+    idx = (sup_idx * B + sub).astype(jnp.int32)
+    hi = jnp.take_along_axis(blk, sub[..., None], axis=-1)[..., 0]
+    lo_blk = jnp.take_along_axis(blk, jnp.maximum(sub - 1, 0)[..., None],
+                                 axis=-1)[..., 0]
+    lo_sup = jnp.take_along_axis(sup_rows,
+                                 jnp.maximum(sup_idx - 1, 0)[..., None],
+                                 axis=-1)[..., 0]
+    lo = jnp.where(sub > 0, lo_blk, jnp.where(sup_idx > 0, lo_sup, 0.0))
     pdf = hi - lo
     frac = jnp.minimum((x - lo) / jnp.maximum(pdf, 1e-12), ONE_MINUS_EPS)
     return idx, pdf, frac
