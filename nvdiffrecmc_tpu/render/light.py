@@ -82,8 +82,24 @@ def _read_hdr(path):
     if res[0] != b'-Y' or res[2] != b'+X':
         raise ValueError('unsupported HDR orientation %r' % b' '.join(res))
     H, W = int(res[1]), int(res[3])
-    payload = np.frombuffer(data[res_end + 1:], dtype=np.uint8)
+    payload_bytes = data[res_end + 1:]
+    payload = np.frombuffer(payload_bytes, dtype=np.uint8)
 
+    from ..native import hdr_decode_scanlines
+    img = hdr_decode_scanlines(payload_bytes, H, W)
+    if img is None:
+        img = _decode_scanlines_py(payload, H, W)
+    rgbe = img.astype(np.float32)
+    e = rgbe[..., 3]
+    scale = np.where(e > 0, np.ldexp(1.0, e.astype(np.int32) - 136), 0.0)
+    # +0.5: mantissas are floor-quantized, decode at bin centers (Radiance
+    # colr_color convention)
+    return np.where(e[..., None] > 0, (rgbe[..., :3] + 0.5) * scale[..., None],
+                    0.0)
+
+
+def _decode_scanlines_py(payload, H, W):
+    """Pure-python fallback scanline decoder."""
     img = np.zeros((H, W, 4), dtype=np.uint8)
     p = 0
     for y in range(H):
@@ -106,13 +122,7 @@ def _read_hdr(path):
         else:  # flat scanline
             img[y] = payload[p:p + 4 * W].reshape(W, 4)
             p += 4 * W
-    rgbe = img.astype(np.float32)
-    e = rgbe[..., 3]
-    scale = np.where(e > 0, np.ldexp(1.0, e.astype(np.int32) - 136), 0.0)
-    # +0.5: mantissas are floor-quantized, decode at bin centers (Radiance
-    # colr_color convention)
-    return np.where(e[..., None] > 0, (rgbe[..., :3] + 0.5) * scale[..., None],
-                    0.0)
+    return img
 
 
 def _write_hdr(path, img):
@@ -128,10 +138,12 @@ def _write_hdr(path, img):
         q = np.clip(np.floor(img * scale[..., None]), 0, 255).astype(np.uint8)
     rgbe[..., :3] = np.where(m[..., None], q, 0)
     rgbe[..., 3] = np.where(m, e + 128, 0).astype(np.uint8)
+    from ..native import hdr_encode_scanlines
+    encoded = hdr_encode_scanlines(rgbe)
     with open(path, 'wb') as f:
         f.write(b'#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n')
         f.write(('-Y %d +X %d\n' % (H, W)).encode())
-        f.write(rgbe.tobytes())
+        f.write(encoded if encoded is not None else rgbe.tobytes())
 
 
 def load_env(fn, scale=1.0, res=None):
