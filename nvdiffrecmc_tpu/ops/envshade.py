@@ -372,11 +372,11 @@ def _default_backend():
 
 
 @partial(jax.jit, static_argnames=('BSDF', 'n_samples_x', 'ray_chunk',
-                                   'k_pairs', 'backend'))
+                                   'k_pairs', 'backend', 'bin_rays'))
 def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
               light_base, light_pdf_tex, rows, cols, bvh, perms,
               rnd_seed, shadow_scale, BSDF=0, n_samples_x=8,
-              ray_chunk=65536, k_pairs=16, backend=None):
+              ray_chunk=65536, k_pairs=16, backend=None, bin_rays=True):
     """Monte-Carlo direct lighting.
 
     mask [B,H,W]; ro/gb_* [B,H,W,3]; light_base [Hl,Wl,3];
@@ -480,13 +480,20 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
         # direction so they cluster into inert blocks (PERF_NOTES.md).
         m2 = jnp.concatenate([m, m], 0)[:, None]
         all_d = jnp.where(m2, all_d, 0.0)
-        octant = ((all_d[:, 0] > 0) * 4 + (all_d[:, 1] > 0) * 2
-                  + (all_d[:, 2] > 0)).astype(jnp.int32)
-        octant = jnp.where(m2[:, 0], octant, 8)  # sentinel bin for masked
-        from .pallas_tracer import counting_sort_perm
-        perm, dest = counting_sort_perm(octant, 9)
-        occ_sorted = occlusion_fn(all_o[perm], all_d[perm], bvh)
-        occ = occ_sorted[dest]
+        # NOTE: isolated-fwd A/B suggested binning was net-negative, but the
+        # full train-step benchmark is ~10% faster WITH binning (0.173 vs
+        # 0.156 iter/s) — the replayed backward amortizes the counting-sort.
+        # Keep it on; see PERF_NOTES.md.
+        if bin_rays:
+            octant = ((all_d[:, 0] > 0) * 4 + (all_d[:, 1] > 0) * 2
+                      + (all_d[:, 2] > 0)).astype(jnp.int32)
+            octant = jnp.where(m2[:, 0], octant, 8)  # sentinel bin for masked
+            from .pallas_tracer import counting_sort_perm
+            perm, dest = counting_sort_perm(octant, 9)
+            occ_sorted = occlusion_fn(all_o[perm], all_d[perm], bvh)
+            occ = occ_sorted[dest]
+        else:
+            occ = occlusion_fn(all_o, all_d, bvh)
         vis_l = ~occ[:P]
         vis_b = ~occ[P:]
 
