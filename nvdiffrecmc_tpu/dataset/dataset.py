@@ -33,6 +33,8 @@ def batch_iterator(dataset, batch_size, shuffle=True, seed=0):
     rng = np.random.RandomState(seed)
     n = len(dataset)
     order = np.arange(n)
+    if shuffle:
+        rng.shuffle(order)  # first epoch must be shuffled too
     i = 0
     while True:
         if i + batch_size > n:

@@ -16,6 +16,7 @@ from ..ops import mesh_ops
 
 class DLMesh:
     def __init__(self, initial_guess: mesh_mod.Mesh, FLAGS):
+        self.uid = mesh_mod.next_geometry_uid()
         self.FLAGS = FLAGS
         self.initial_guess = initial_guess
         self.base_mesh = initial_guess

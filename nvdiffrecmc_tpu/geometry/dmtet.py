@@ -178,6 +178,7 @@ class DMTetGeometry:
 
     def __init__(self, grid_res, scale, FLAGS, tets_path=None, max_tris=None,
                  seed=0):
+        self.uid = mesh_mod.next_geometry_uid()
         self.FLAGS = FLAGS
         self.grid_res = grid_res
         path = tets_path or os.path.join(
@@ -192,7 +193,7 @@ class DMTetGeometry:
             tet_verts, tet_idx = kuhn_tet_grid(grid_res)
         self.verts = jnp.asarray(tet_verts) * scale
         self.indices = jnp.asarray(tet_idx)
-        edge_uniq, edge_map = _precompute_edge_tables(tets['indices'])
+        edge_uniq, edge_map = _precompute_edge_tables(tet_idx)
         self.edge_uniq = jnp.asarray(edge_uniq)
         self.edge_map = jnp.asarray(edge_map)
         num_tets = int(self.indices.shape[0])

@@ -4,16 +4,27 @@
 every getMesh(), geometry/dmtet.py:201-202).
 
 TPU-first design: instead of a pointer-chasing BVH (divergent gathers), we
-Morton-sort triangles by centroid and group them into fixed-size leaves.
-Traversal is then a dense ray x leaf-AABB slab test (vectorized, static
-shapes) followed by pair-compacted triangle tests, where each work block
-shares one leaf so triangle data is fetched per *block*, not per ray — the
-ray-triangle inner loop becomes an MXU matmul (see tracer.py).
+Morton-sort triangles by centroid and group them into fixed-size leaves, with
+a second level of "supernode" AABBs over groups of consecutive leaves so
+traversal can skip SUPER leaves with one test.  Traversal is a dense
+ray x AABB slab test (vectorized, static shapes) followed by block triangle
+tests where every ray in a block shares the leaf's triangle data — the
+ray-triangle inner loop becomes an MXU matmul (see pallas_tracer.py).
 
-Triangles are stored in a precomputed 7x8 "intersection matrix" form: all
-per-(ray, triangle) quantities needed by an any-hit test are dot products of
-the ray feature vector [ox,oy,oz,dx,dy,dz,1] with per-triangle constant
-columns, so a block test is one [R, 7] @ [7, 8L] matmul.
+Triangles are stored in a Plücker-coordinate "intersection matrix": with ray
+features f = [d, m=o x d, o, 1] (padded to 16), all quantities of an any-hit
+test are LINEAR in f:
+
+  e_i  = d . V_i + m . U_i     (Plücker side test against edge i; U = b - a,
+                                V = a x b)
+  num  = n . p0 - n . o        (t numerator;  n = unnormalized face normal)
+  den  = n . d                 (t denominator)
+
+  hit  <=>  e0,e1,e2 all share a sign  AND  num * den > 0   (t > 0)
+
+so a leaf test is one [R, 16] @ [16, 5L] matmul plus an 8-op epilogue —
+far fewer VPU epilogue ops per triangle than evaluating barycentrics.
+Zeroed (padded/masked) triangle columns give num*den == 0 -> never hit.
 """
 
 from functools import partial
@@ -23,15 +34,50 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+K_FEATS = 16     # ray feature rows (10 used: d, m, o, 1; padded to 16)
+N_FIELDS = 5     # e0, e1, e2, num, den
+SUPER = 8        # leaves per supernode
+
 
 class LeafBVH(NamedTuple):
-    tri_mat: jnp.ndarray    # [C, 7, 8*L] per-leaf triangle intersection matrices
+    tri_mat: jnp.ndarray    # [C, 16, 5*L] per-leaf Plücker matrices, field-major
     aabb_lo: jnp.ndarray    # [C, 3]
     aabb_hi: jnp.ndarray    # [C, 3]
+    super_lo: jnp.ndarray   # [S, 3] supernode AABBs (S = ceil(C / SUPER))
+    super_hi: jnp.ndarray   # [S, 3]
 
     @property
     def leaf_size(self):
-        return self.tri_mat.shape[2] // 8
+        return self.tri_mat.shape[2] // N_FIELDS
+
+    @property
+    def n_leaves(self):
+        return self.aabb_lo.shape[0]
+
+
+def ray_features(o, d):
+    """[R, 16] Plücker ray features [d, o x d, o, 1, 0...] matching
+    the tri_mat rows."""
+    R = o.shape[0]
+    m = jnp.cross(o, d)
+    return jnp.concatenate(
+        [d, m, o, jnp.ones((R, 1), o.dtype), jnp.zeros((R, 6), o.dtype)],
+        axis=-1)
+
+
+def decode_hits(E, L, tmin=0.0):
+    """Epilogue of the matmul test: E [..., 5L] field-major -> hit [..., L].
+
+    tmin shifts the positivity test: t > tmin  <=>  (num - tmin*den)*den > 0.
+    """
+    e0 = E[..., 0 * L:1 * L]
+    e1 = E[..., 1 * L:2 * L]
+    e2 = E[..., 2 * L:3 * L]
+    num = E[..., 3 * L:4 * L]
+    den = E[..., 4 * L:5 * L]
+    num = num - tmin * den
+    same_sign = (e0 * e1 >= 0.0) & (e1 * e2 >= 0.0) & (e0 * e2 >= 0.0)
+    return same_sign & (num * den > 0.0)
 
 
 def _morton3(x, y, z):
@@ -46,40 +92,29 @@ def _morton3(x, y, z):
     return spread(x) | (spread(y) << 1) | (spread(z) << 2)
 
 
-def _tri_intersection_matrix(v0, v1, v2, valid):
-    """[T, 7, 8] constants for the matmul any-hit test.
-
-    Columns: 0: n.o - d, 1: n.dir, 2-4: alpha_i = g_i.o + c_i,
-    5-7: beta_i = g_i.dir, where n = cross(e1, e2) (unnormalized face
-    normal), g_i = cross(n, edge_i) are inward in-plane edge normals,
-    c_i = -g_i . edge_vertex.  Invalid triangles are zeroed (they produce
-    a = 0 -> rejected by the tracer)."""
-    e1 = v1 - v0
-    e2 = v2 - v0
-    n = jnp.cross(e1, e2)
-    d = jnp.sum(n * v0, axis=-1)
-
-    edges = [(v0, v1 - v0), (v1, v2 - v1), (v2, v0 - v2)]
-    g = [jnp.cross(n, e) for (_, e) in edges]
-    c = [-jnp.sum(gi * vi, axis=-1) for gi, (vi, _) in zip(g, edges)]
+def _tri_plucker_matrix(v0, v1, v2, valid):
+    """[T, 16, 5] per-triangle columns for the Plücker any-hit test.
+    Invalid triangles are zeroed (num*den == 0 -> never hit)."""
+    n = jnp.cross(v1 - v0, v2 - v0)
 
     T = v0.shape[0]
-    M = jnp.zeros((T, 7, 8), dtype=v0.dtype)
-    M = M.at[:, 0:3, 0].set(n)
-    M = M.at[:, 6, 0].set(-d)
-    M = M.at[:, 3:6, 1].set(n)
-    for i in range(3):
-        M = M.at[:, 0:3, 2 + i].set(g[i])
-        M = M.at[:, 6, 2 + i].set(c[i])
-        M = M.at[:, 3:6, 5 + i].set(g[i])
+    M = jnp.zeros((T, K_FEATS, N_FIELDS), dtype=v0.dtype)
+    for i, (a, b) in enumerate(((v0, v1), (v1, v2), (v2, v0))):
+        U = b - a
+        V = jnp.cross(a, b)
+        M = M.at[:, 0:3, i].set(V)      # dot with d
+        M = M.at[:, 3:6, i].set(U)      # dot with m
+    M = M.at[:, 6:9, 3].set(-n)          # num: -n . o
+    M = M.at[:, 9, 3].set(jnp.sum(n * v0, axis=-1))   # + n . p0
+    M = M.at[:, 0:3, 4].set(n)           # den: n . d
     return M * valid[:, None, None]
 
 
 @partial(jax.jit, static_argnames=('leaf_size', 'dtype'))
-def build(v_pos, tri, tri_mask=None, leaf_size=16, dtype=None):
+def build(v_pos, tri, tri_mask=None, leaf_size=128, dtype=None):
     """Build the two-level structure.  Static output shapes: C = ceil(T/L)
-    leaves.  Invalid (masked/padded) triangles sort to the end and get empty
-    AABBs so they are never visited."""
+    leaves, S = ceil(C/SUPER) supernodes.  Invalid (masked/padded) triangles
+    sort to the end and get empty AABBs so they are never visited."""
     T = tri.shape[0]
     L = leaf_size
     v0 = v_pos[tri[:, 0]]
@@ -116,19 +151,28 @@ def build(v_pos, tri, tri_mask=None, leaf_size=16, dtype=None):
         masks = jnp.concatenate([masks, jnp.zeros((pad,), bool)])
     C = (T + pad) // L
 
-    M = _tri_intersection_matrix(v0s, v1s, v2s, masks.astype(v0s.dtype))
-    # [C, L, 7, 8] -> [C, 7, 8L] with column = field * L + tri (field-major,
+    M = _tri_plucker_matrix(v0s, v1s, v2s, masks.astype(v0s.dtype))
+    # [C, L, 16, 5] -> [C, 16, 5L] with lane = field * L + tri (field-major,
     # so kernels can slice fields as contiguous 2D blocks without 3D reshapes)
-    tri_mat = M.reshape(C, L, 7, 8).transpose(0, 2, 3, 1).reshape(C, 7, 8 * L)
+    tri_mat = M.reshape(C, L, K_FEATS, N_FIELDS).transpose(0, 2, 3, 1)
+    tri_mat = tri_mat.reshape(C, K_FEATS, N_FIELDS * L)
     if dtype is not None:
-        # bf16 storage halves VMEM and speeds the MXU any-hit matmuls; the
-        # ~0.4% relative coefficient error only perturbs hits within a thin
-        # band around triangle edges (visibility noise on ~1% of edge rays).
+        # bf16 storage halves VMEM/DMA and cuts MXU passes; the relative
+        # coefficient error only perturbs hits within a thin band around
+        # triangle edges (visibility noise on ~1% of edge rays).
         tri_mat = tri_mat.astype(dtype)
 
     pts = jnp.stack([v0s, v1s, v2s], axis=1).reshape(C, L * 3, 3)
     mk = jnp.repeat(masks.reshape(C, L), 3, axis=1)[..., None]
+    # empty leaves get an inverted AABB that fails every slab test
     lo = jnp.min(jnp.where(mk, pts, big), axis=1)
     hi = jnp.max(jnp.where(mk, pts, -big), axis=1)
-    # empty leaves get an inverted AABB that fails every slab test
-    return LeafBVH(tri_mat=tri_mat, aabb_lo=lo, aabb_hi=hi)
+
+    spad = (-C) % SUPER
+    lo_p = jnp.concatenate([lo, jnp.full((spad, 3), big)]) if spad else lo
+    hi_p = jnp.concatenate([hi, jnp.full((spad, 3), -big)]) if spad else hi
+    S = (C + spad) // SUPER
+    super_lo = jnp.min(lo_p.reshape(S, SUPER, 3), axis=1)
+    super_hi = jnp.max(hi_p.reshape(S, SUPER, 3), axis=1)
+    return LeafBVH(tri_mat=tri_mat, aabb_lo=lo, aabb_hi=hi,
+                   super_lo=super_lo, super_hi=super_hi)

@@ -1,23 +1,25 @@
-"""Pallas TPU kernel for wavefront shadow-ray any-hit tracing.
+"""Pallas TPU kernels for wavefront shadow-ray any-hit tracing (v4).
 
-Replaces the jnp compaction pipeline in tracer.py on TPU.  Design:
+Role of OptiX ray traversal (reference kernel.cu:101-118, any-hit with
+TERMINATE_ON_FIRST_HIT) rebuilt for a vector machine:
 
-- grid over ray blocks (RB rays); each block keeps its rays in VMEM as an
-  [RB, 8] feature matrix (ox,oy,oz,dx,dy,dz,1,0).
-- the whole leaf table lives in VMEM: AABBs [C, 8] and per-leaf triangle
-  intersection matrices [C, 8, 8L] (see bvh.py for the 7x8 construction; row
-  7 is zero padding so the matmul operand is 8-row aligned).
-- per block, a while_loop walks leaves in Morton order: a vectorized slab
-  test picks the rays whose AABB test passes; if none (or every ray is
-  already occluded) the leaf's triangle test is skipped, otherwise the
-  block does one [RB, 8] @ [8, 8L] MXU matmul and ORs the hits into the
-  per-ray occlusion accumulator.  The loop exits early once every ray in
-  the block is occluded (any-hit semantics == OPTIX_RAY_FLAG_TERMINATE_ON_
-  FIRST_HIT, reference kernel.cu:112).
+1. **Mask prepass** (vector-only Pallas kernel): per (ray-block, leaf) AABB
+   slab tests, OR-reduced over the block's rays -> visit mask [NB, C].
+   No scalar syncs: rays ride the sublanes, leaves ride the lanes.
+2. **Visit lists** (jnp): compacted per-block leaf lists + counts from the
+   mask (top_k trick), so the main kernel's control flow is pure SMEM
+   scalars — the expensive vector->scalar reductions that throttled the
+   round-1 kernels (PERF_NOTES.md) are gone entirely.
+3. **Main kernel**: per ray block, a fori_loop walks the block's visit list;
+   each leaf's Plücker matrix [16, 5L] is DMA'd HBM->VMEM with double
+   buffering (compute on leaf j overlaps the fetch of leaf j+1), then tested
+   with one [RB, 16] @ [16, 5L] MXU matmul + sign-test epilogue
+   (bvh.decode_hits).  Keeping triangle data in HBM removes the round-1
+   VMEM scene-size ceiling: scenes are bounded by HBM, not the 16 MB VMEM.
 
-VMEM budget: C*8*8L*4 bytes for fp32 triangles — up to ~48k triangles at
-L=32; build with dtype=bfloat16 for larger scenes (tri data is re-centered
-per leaf upstream if precision becomes an issue).
+Any-hit semantics: the occlusion accumulator is monotone (max), so visit
+order is irrelevant and early termination is an optimization, not a
+correctness requirement.
 """
 
 import functools
@@ -27,91 +29,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .bvh import LeafBVH
+from .bvh import LeafBVH, K_FEATS, N_FIELDS, ray_features, decode_hits
 
 BIG = 3e37
 
 
-def _kernel(rayf_ref, aabb_ref, trimat_ref, occ_ref, *, n_leaves, leaf_size,
-            tmin, tmax):
-    rayf = rayf_ref[:]                      # [RB, 8]
-    RB = rayf.shape[0]
-    L = leaf_size
+# ---------------------------------------------------------------------------
+# Mask prepass: per-(block, leaf) AABB visit mask, pure vector code
+# ---------------------------------------------------------------------------
 
-    ox, oy, oz = rayf[:, 0], rayf[:, 1], rayf[:, 2]
-    dx, dy, dz = rayf[:, 3], rayf[:, 4], rayf[:, 5]
-
-    def inv(d):
-        return jnp.where(jnp.abs(d) > 1e-12, 1.0 / jnp.where(d == 0, 1.0, d),
-                         2e12)
-    ix, iy, iz = inv(dx), inv(dy), inv(dz)
-
-    occ_ref[:, 0] = jnp.zeros((RB,), jnp.float32)
-
-    CHUNK = 2                               # leaves per pl.when guard
-    n_chunks = (n_leaves + CHUNK - 1) // CHUNK
-
-    def slab(c):
-        lo0, lo1, lo2 = aabb_ref[c, 0], aabb_ref[c, 1], aabb_ref[c, 2]
-        hi0, hi1, hi2 = aabb_ref[c, 3], aabb_ref[c, 4], aabb_ref[c, 5]
-        t0x = (lo0 - ox) * ix
-        t1x = (hi0 - ox) * ix
-        t0y = (lo1 - oy) * iy
-        t1y = (hi1 - oy) * iy
-        t0z = (lo2 - oz) * iz
-        t1z = (hi2 - oz) * iz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.maximum(jnp.minimum(t0z, t1z), tmin))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.minimum(jnp.maximum(t0z, t1z), tmax))
-        return tf >= tn
-
-    def tri_test(c, alive):
-        """Division-free any-hit against leaf c for rays in `alive`.
-        With t = -b/a: t>0 <=> -b*a > 0; q_i = alpha_i + t*beta_i >= 0
-        <=> s_i * a >= 0 where s_i = a*alpha_i - b*beta_i."""
-        M = trimat_ref[c]                             # [8, 8L] field-major
-        E = jnp.dot(rayf.astype(M.dtype), M,
-                    preferred_element_type=jnp.float32)
-        b_ = E[:, 0 * L:1 * L]
-        a = E[:, 1 * L:2 * L]
-        ba = (b_ + tmin * a) * a          # t > tmin  <=>  ba < 0
-        s0 = a * E[:, 2 * L:3 * L] - b_ * E[:, 5 * L:6 * L]
-        s1 = a * E[:, 3 * L:4 * L] - b_ * E[:, 6 * L:7 * L]
-        s2 = a * E[:, 4 * L:5 * L] - b_ * E[:, 7 * L:8 * L]
-        hit = (ba < 0.0) & (s0 * a >= 0.0) & (s1 * a >= 0.0) & (s2 * a >= 0.0)
-        return jnp.any(hit, axis=-1) & alive
-
-    def body(ci, _):
-        occ = occ_ref[:, 0] > 0.0
-        not_occ = jnp.logical_not(occ)
-        base = ci * CHUNK
-        alive = [slab(jnp.minimum(base + k, n_leaves - 1)) & not_occ
-                 for k in range(CHUNK)]
-        any_alive = alive[0]
-        for k in range(1, CHUNK):
-            any_alive = any_alive | alive[k]
-
-        @pl.when(jnp.any(any_alive))
-        def _():
-            acc = occ_ref[:, 0]
-            for k in range(CHUNK):
-                c = jnp.minimum(base + k, n_leaves - 1)
-                h = tri_test(c, alive[k])
-                acc = jnp.maximum(acc, h.astype(jnp.float32))
-            occ_ref[:, 0] = acc
-
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, body, 0)
-
-
-def _mask_kernel(rayf_ref, aabbt_ref, mask_ref, *, tmin, tmax, n_lane_groups):
-    """Per-block leaf visit mask, pure vector code (no scalar reductions).
-
-    rays on sublanes (8 at a time), leaves on lanes (128 per group):
+def _mask_kernel(rayf_ref, aabbt_ref, mask_ref, *, tmin, tmax):
+    """rays on sublanes (8 at a time), leaves on lanes (128 per group):
     slab-test every (ray, leaf) pair and OR-reduce over the block's rays.
     aabbt: [8, Cpad] rows = (lo0,lo1,lo2,hi0,hi1,hi2,0,0)."""
     RB = rayf_ref.shape[0]
@@ -128,9 +56,9 @@ def _mask_kernel(rayf_ref, aabbt_ref, mask_ref, *, tmin, tmax, n_lane_groups):
     hi2 = aabbt_ref[5:6, :]
 
     def group(g, acc):
-        r = rayf_ref[pl.ds(g * 8, 8), :]          # [8, 8]
-        ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
-        dx, dy, dz = r[:, 3:4], r[:, 4:5], r[:, 5:6]
+        r = rayf_ref[pl.ds(g * 8, 8), :]          # [8, 16]
+        dx, dy, dz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
+        ox, oy, oz = r[:, 6:7], r[:, 7:8], r[:, 8:9]
 
         def inv(d):
             return jnp.where(jnp.abs(d) > 1e-12,
@@ -155,75 +83,25 @@ def _mask_kernel(rayf_ref, aabbt_ref, mask_ref, *, tmin, tmax, n_lane_groups):
     mask_ref[0, :, :] = jnp.broadcast_to(acc.astype(jnp.int32), (8, Cpad))
 
 
-def _main_kernel_v3(count_ref, list_ref, rayf_ref, trimat_ref, occ_ref, *,
-                    leaf_size, tmin):
-    """Occlusion accumulation for one (ray-block, k-th visited leaf) grid
-    cell.  Leaf ids come from a scalar-prefetch visit list, so the triangle
-    DMA and the compute run only for leaves this block actually visits
-    (padding entries repeat the last visited leaf -> consecutive equal
-    index_map results skip the re-DMA, and the count guard skips compute)."""
-    RB = rayf_ref.shape[0]
-    L = leaf_size
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        occ_ref[:, 0] = jnp.zeros((RB,), jnp.float32)
-
-    @pl.when(j < count_ref[i])
-    def _():
-        rayf = rayf_ref[:]
-        M = trimat_ref[0]
-        E = jnp.dot(rayf.astype(M.dtype), M,
-                    preferred_element_type=jnp.float32)
-        b_ = E[:, 0 * L:1 * L]
-        a = E[:, 1 * L:2 * L]
-        ba = (b_ + tmin * a) * a
-        s0 = a * E[:, 2 * L:3 * L] - b_ * E[:, 5 * L:6 * L]
-        s1 = a * E[:, 3 * L:4 * L] - b_ * E[:, 6 * L:7 * L]
-        s2 = a * E[:, 4 * L:5 * L] - b_ * E[:, 7 * L:8 * L]
-        hit = ((ba < 0.0) & (s0 * a >= 0.0) & (s1 * a >= 0.0)
-               & (s2 * a >= 0.0))
-        occ_ref[:, 0] = jnp.maximum(
-            occ_ref[:, 0], jnp.any(hit, axis=-1).astype(jnp.float32))
-
-
-@functools.partial(jax.jit, static_argnames=('ray_block', 'tmin', 'tmax',
-                                             'interpret'))
-def any_hit_pallas_v3(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
-                      ray_block=1024, interpret=False):
-    """Two-phase any-hit: vector-only leaf-mask prepass + mask-guarded
-    triangle kernel.  Removes the per-leaf scalar-reduction syncs of
-    any_hit_pallas (PERF_NOTES.md)."""
-    R = ro.shape[0]
-    C = bvh.aabb_lo.shape[0]
-    L = bvh.leaf_size
+def visit_masks(rayf, aabb_lo, aabb_hi, ray_block, tmin, tmax,
+                interpret=False):
+    """[NB, C] int32 visit masks for a padded ray-feature array
+    [NB*ray_block, 16]."""
+    Rp = rayf.shape[0]
+    NB = Rp // ray_block
+    C = aabb_lo.shape[0]
     Cpad = ((C + 127) // 128) * 128
 
-    pad = (-R) % ray_block
-    if pad:
-        ro = jnp.concatenate([ro, jnp.full((pad, 3), BIG, ro.dtype)])
-        rd = jnp.concatenate([rd, jnp.zeros((pad, 3), rd.dtype)])
-    Rp = R + pad
-    NB = Rp // ray_block
-
-    rayf = jnp.concatenate(
-        [ro, rd, jnp.ones((Rp, 1), ro.dtype), jnp.zeros((Rp, 1), ro.dtype)],
-        axis=-1)
-    trimat = jnp.pad(bvh.tri_mat, ((0, 0), (0, 1), (0, 0)))
-    # transposed AABBs padded on lanes; padding leaves get inverted boxes
     aabbt = jnp.full((8, Cpad), BIG, jnp.float32)
-    aabbt = aabbt.at[0:3, :C].set(bvh.aabb_lo.T)
-    aabbt = aabbt.at[3:6, :C].set(bvh.aabb_hi.T)
-    aabbt = aabbt.at[3:6, C:].set(-BIG)
+    aabbt = aabbt.at[0:3, :C].set(aabb_lo.T)
+    aabbt = aabbt.at[3:6, :C].set(aabb_hi.T)
+    aabbt = aabbt.at[3:6, C:].set(-BIG)   # padding leaves: inverted boxes
 
     mask = pl.pallas_call(
-        functools.partial(_mask_kernel, tmin=tmin, tmax=tmax,
-                          n_lane_groups=Cpad // 128),
+        functools.partial(_mask_kernel, tmin=tmin, tmax=tmax),
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((ray_block, 8), lambda i: (i, 0),
+            pl.BlockSpec((ray_block, K_FEATS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, Cpad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -233,30 +111,7 @@ def any_hit_pallas_v3(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
         out_shape=jax.ShapeDtypeStruct((NB, 8, Cpad), jnp.int32),
         interpret=interpret,
     )(rayf, aabbt)
-
-    mask_rows = mask[:, 0, :C]                     # [NB, C] int32
-    counts, lists = _mask_to_lists(mask_rows)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(NB, C),
-        in_specs=[
-            pl.BlockSpec((ray_block, 8), lambda i, j, cnt, lst: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 8 * L),
-                         lambda i, j, cnt, lst: (lst[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((ray_block, 1), lambda i, j, cnt, lst: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    occ = pl.pallas_call(
-        functools.partial(_main_kernel_v3, leaf_size=L, tmin=tmin),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
-        interpret=interpret,
-    )(counts, lists, rayf, trimat)
-    return occ.reshape(-1)[:R] > 0.0
+    return mask[:, 0, :C]
 
 
 def _mask_to_lists(mask_rows):
@@ -274,6 +129,107 @@ def _mask_to_lists(mask_rows):
     return counts, lists
 
 
+# ---------------------------------------------------------------------------
+# Main kernel: list-driven leaf walk with double-buffered HBM DMA
+# ---------------------------------------------------------------------------
+
+def _trace_kernel(count_ref, list_ref, rayf_ref, trimat_hbm, occ_ref,
+                  tri_vmem, sems, *, leaf_size, tmin, tri_dtype):
+    RB = rayf_ref.shape[0]
+    L = leaf_size
+    i = pl.program_id(0)
+    n = count_ref[i]
+
+    occ_ref[:, 0] = jnp.zeros((RB,), jnp.float32)
+    rayf = rayf_ref[:].astype(tri_dtype)
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(
+            trimat_hbm.at[list_ref[i, j]], tri_vmem.at[slot], sems.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        dma(0, 0).start()
+
+        def body(j, _):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n)
+            def _():
+                dma(1 - slot, j + 1).start()
+
+            dma(slot, j).wait()
+            E = jnp.dot(rayf, tri_vmem[slot],
+                        preferred_element_type=jnp.float32)   # [RB, 5L]
+            hit = decode_hits(E, L, tmin=tmin)
+            occ_ref[:, 0] = jnp.maximum(
+                occ_ref[:, 0], jnp.any(hit, axis=-1).astype(jnp.float32))
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('ray_block', 'tmin', 'tmax',
+                                             'interpret'))
+def any_hit_pallas(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
+                   ray_block=1024, interpret=False):
+    """Pallas any-hit over a LeafBVH.  ro/rd: [R, 3].  Returns bool [R].
+
+    Note: tmax is accepted for interface parity but shadow rays are treated
+    as infinite (reference uses tmax=1e16, torch_bindings.cpp:109)."""
+    R = ro.shape[0]
+    pad = (-R) % ray_block
+    if pad:
+        ro = jnp.concatenate([ro, jnp.full((pad, 3), BIG, ro.dtype)])
+        rd = jnp.concatenate([rd, jnp.zeros((pad, 3), rd.dtype)])
+    rayf = ray_features(ro, rd)
+    occ = trace_rayf(rayf, bvh, tmin=tmin, tmax=tmax, ray_block=ray_block,
+                     interpret=interpret)
+    return occ[:R]
+
+
+def trace_rayf(rayf, bvh: LeafBVH, tmin=0.0, tmax=1e16, ray_block=1024,
+               interpret=False):
+    """Core any-hit on prebuilt ray features [Rp, 16] (Rp % ray_block == 0).
+    Returns bool [Rp]."""
+    Rp = rayf.shape[0]
+    NB = Rp // ray_block
+    C = bvh.n_leaves
+    L = bvh.leaf_size
+
+    mask_rows = visit_masks(rayf, bvh.aabb_lo, bvh.aabb_hi, ray_block,
+                            tmin, tmax, interpret=interpret)
+    counts, lists = _mask_to_lists(mask_rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((ray_block, K_FEATS), lambda i, cnt, lst: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # trimat stays in HBM
+        ],
+        out_specs=pl.BlockSpec((ray_block, 1), lambda i, cnt, lst: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, K_FEATS, N_FIELDS * L), bvh.tri_mat.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    occ = pl.pallas_call(
+        functools.partial(_trace_kernel, leaf_size=L, tmin=tmin,
+                          tri_dtype=bvh.tri_mat.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+        interpret=interpret,
+    )(counts, lists, rayf, bvh.tri_mat)
+    return occ.reshape(-1) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Ray ordering helper
+# ---------------------------------------------------------------------------
+
 def counting_sort_perm(key, n_bins):
     """Stable counting-sort permutation (cheaper than argsort for few bins).
     Returns (perm, dest): sorted = x[perm]; dest[i] is i's sorted position."""
@@ -289,51 +245,3 @@ def counting_sort_perm(key, n_bins):
     perm = jnp.zeros((R,), jnp.int32).at[dest].set(
         jnp.arange(R, dtype=jnp.int32))
     return perm, dest
-
-
-@functools.partial(jax.jit, static_argnames=('ray_block', 'tmin', 'tmax',
-                                             'interpret'))
-def any_hit_pallas(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
-                   ray_block=1024, interpret=False):
-    """Pallas any-hit over a LeafBVH.  ro/rd: [R, 3].  Returns bool [R].
-
-    Note: tmax is accepted for interface parity but shadow rays are treated
-    as infinite (reference uses tmax=1e16, torch_bindings.cpp:109)."""
-    R = ro.shape[0]
-    C = bvh.aabb_lo.shape[0]
-    L = bvh.leaf_size
-
-    pad = (-R) % ray_block
-    if pad:
-        ro = jnp.concatenate([ro, jnp.full((pad, 3), BIG, ro.dtype)])
-        rd = jnp.concatenate([rd, jnp.zeros((pad, 3), rd.dtype)])
-    Rp = R + pad
-
-    rayf = jnp.concatenate(
-        [ro, rd, jnp.ones((Rp, 1), ro.dtype), jnp.zeros((Rp, 1), ro.dtype)],
-        axis=-1)
-    # [C, 8, 8L]: pad the 7-row intersection matrix to 8 rows
-    trimat = jnp.pad(bvh.tri_mat, ((0, 0), (0, 1), (0, 0)))
-    if trimat.dtype == jnp.bfloat16:
-        rayf = rayf  # cast happens per-block inside the kernel
-    aabb = jnp.concatenate([bvh.aabb_lo, bvh.aabb_hi], axis=-1)  # [C, 6]
-
-    kern = functools.partial(_kernel, n_leaves=C, leaf_size=L,
-                             tmin=tmin, tmax=tmax)
-    occ = pl.pallas_call(
-        kern,
-        grid=(Rp // ray_block,),
-        in_specs=[
-            pl.BlockSpec((ray_block, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 6), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((C, 8, 8 * L), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((ray_block, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
-        interpret=interpret,
-    )(rayf, aabb, trimat)
-    return occ.reshape(-1)[:R] > 0.0

@@ -1,4 +1,4 @@
-"""Wavefront any-hit shadow-ray tracer.
+"""Wavefront any-hit shadow-ray tracer (pure-jnp reference backend).
 
 Replaces the OptiX shadow-ray launch (OPTIX_RAY_FLAG_TERMINATE_ON_FIRST_HIT,
 /root/reference/render/optixutils/c_src/envsampling/kernel.cu:101-118) with a
@@ -7,14 +7,15 @@ TPU-native wavefront pipeline over the LeafBVH from bvh.py:
 1. dense ray x leaf-AABB slab tests (static [Rc, C] vectorized compute),
 2. (ray, leaf) pair compaction via sized-nonzero, leaf-major order,
 3. leaf-aligned padding so every work block of PB pairs shares one leaf —
-   triangle data is then fetched per block and the 16-triangle any-hit test
-   is a batched [PB, 7] @ [7, 8L] matmul on the MXU,
+   triangle data is then fetched per block and the L-triangle any-hit test
+   is a batched [PB, 16] @ [16, 5L] Plücker matmul on the MXU,
 4. scatter-max of per-pair hits back to rays.
 
-Fully static shapes; per-ray candidate pairs are capped (k_pairs) — overflow
-beyond the cap is dropped, which can only cause missed occlusion on rays that
-intersect more than k_pairs leaf AABBs (rare with Morton-clustered leaves;
-cap is configurable).
+Fully static shapes; per-ray candidate pairs are capped (k_pairs).  Overflow
+beyond the cap is *counted* and surfaced (any_hit_counted) so callers can
+detect missed occlusion instead of silently losing it (the cap only matters
+for rays crossing more than k_pairs leaf AABBs).  The Pallas TPU backend
+(pallas_tracer.py) visits every leaf and has no cap.
 """
 
 from functools import partial
@@ -22,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .bvh import LeafBVH
+from .bvh import LeafBVH, ray_features, decode_hits
 
 BIG = 3e37
 
@@ -51,6 +52,8 @@ def _any_hit_chunk(o, d, bvh: LeafBVH, tmin, tmax, k_pairs, pair_block):
     # --- pair compaction, leaf-major ---
     flat = hit_lc.T.reshape(-1)                      # [C * Rc], leaf-major
     n_pairs_cap = Rc * k_pairs
+    dropped = jnp.maximum(
+        jnp.sum(flat.astype(jnp.int32)) - n_pairs_cap, 0)
     (pair_idx,) = jnp.nonzero(flat, size=n_pairs_cap, fill_value=C * Rc)
     pair_leaf = (pair_idx // Rc).astype(jnp.int32)   # C for fill entries
     pair_ray = (pair_idx % Rc).astype(jnp.int32)
@@ -81,32 +84,25 @@ def _any_hit_chunk(o, d, bvh: LeafBVH, tmin, tmax, k_pairs, pair_block):
     rays_b = padded_ray.reshape(n_blocks, PB)
     rmask = rays_b >= 0
     ridx = jnp.clip(rays_b, 0)
-    feats = jnp.concatenate([o, d, jnp.ones((Rc, 1), o.dtype)], axis=-1)  # [Rc, 7]
-    bf = feats[ridx] * rmask[..., None]              # [NB, PB, 7]
-    bm = bvh.tri_mat[block_leaf]                     # [NB, 7, 8L]
+    feats = ray_features(o, d)                       # [Rc, 16]
+    bf = feats[ridx] * rmask[..., None]              # [NB, PB, 16]
+    bm = bvh.tri_mat[block_leaf]                     # [NB, 16, 5L]
 
-    E = jnp.einsum('bpf,bfk->bpk', bf, bm,
-                   preferred_element_type=jnp.float32).reshape(-1, PB, 8, L)
-    b_ = E[..., 0, :]       # n.o - d_plane
-    a = E[..., 1, :]        # n.dir
-    a_safe = jnp.where(jnp.abs(a) > 1e-20, a, 1e-20)
-    t = -b_ / a_safe
-    q = E[..., 2:5, :] + t[..., None, :] * E[..., 5:8, :]
-    hit = (jnp.abs(a) > 1e-20) & (t > tmin) & (t < tmax) & jnp.all(q >= 0.0, axis=-2)
+    E = jnp.einsum('bpf,bfk->bpk', bf.astype(bm.dtype), bm,
+                   preferred_element_type=jnp.float32)
+    hit = decode_hits(E, L, tmin=tmin)               # [NB, PB, L]
     hit_ray = jnp.any(hit, axis=-1) & rmask          # [NB, PB]
 
     occluded = jnp.zeros((Rc,), bool)
     occluded = occluded.at[ridx.reshape(-1)].max(hit_ray.reshape(-1), mode='drop')
-    return occluded
+    return occluded, dropped
 
 
 @partial(jax.jit, static_argnames=('ray_chunk', 'k_pairs', 'pair_block'))
-def any_hit(ro, rd, bvh: LeafBVH, tmin=1e-4, tmax=1e16,
-            ray_chunk=65536, k_pairs=16, pair_block=512):
-    """Boolean occlusion test for rays (origins [R,3], directions [R,3]).
-
-    Rays with zero direction or origin at BIG never hit (used to disable
-    masked pixels)."""
+def any_hit_counted(ro, rd, bvh: LeafBVH, tmin=1e-4, tmax=1e16,
+                    ray_chunk=65536, k_pairs=16, pair_block=512):
+    """Like any_hit but also returns the number of (ray, leaf) candidate
+    pairs dropped past the k_pairs cap (0 == exact result)."""
     R = ro.shape[0]
     pad = (-R) % ray_chunk
     if pad:
@@ -121,8 +117,20 @@ def any_hit(ro, rd, bvh: LeafBVH, tmin=1e-4, tmax=1e16,
         o, d = args
         return _any_hit_chunk(o, d, bvh, tmin, tmax, k_pairs, pair_block)
 
-    occ = jax.lax.map(chunk, (o_c, d_c))
-    return occ.reshape(-1)[:R]
+    occ, dropped = jax.lax.map(chunk, (o_c, d_c))
+    return occ.reshape(-1)[:R], jnp.sum(dropped)
+
+
+def any_hit(ro, rd, bvh: LeafBVH, tmin=1e-4, tmax=1e16,
+            ray_chunk=65536, k_pairs=16, pair_block=512):
+    """Boolean occlusion test for rays (origins [R,3], directions [R,3]).
+
+    Rays with zero direction or origin at BIG never hit (used to disable
+    masked pixels)."""
+    occ, _ = any_hit_counted(ro, rd, bvh, tmin=tmin, tmax=tmax,
+                             ray_chunk=ray_chunk, k_pairs=k_pairs,
+                             pair_block=pair_block)
+    return occ
 
 
 def make_occlusion_fn(backend='jnp', tmin=0.0, ray_chunk=65536, k_pairs=16):

@@ -141,15 +141,26 @@ def _bilinear_resize_align_corners(x, H, W):
             + cc * fy * (1 - fx) + d * fy * fx)
 
 
+def _overlap_matrix(out_n, in_n):
+    """[out_n, in_n] fractional-overlap weights of output cell i with input
+    cell j (each row sums to 1): exact area averaging for any ratio."""
+    scale = in_n / out_n
+    lo = jnp.arange(out_n)[:, None] * scale        # output cell edges in
+    hi = lo + scale                                 # input coordinates
+    j0 = jnp.arange(in_n)[None, :]
+    ov = jnp.minimum(hi, j0 + 1.0) - jnp.maximum(lo, j0)
+    return jnp.clip(ov, 0.0) / scale
+
+
 def _area_resize(x, H, W):
-    """General area resize via bilinear sampling of the integral — adequate
-    fallback for non-integer ratios (rare in practice)."""
+    """True area-average resize for arbitrary (incl. non-integer) ratios:
+    out = Wy @ x @ Wx^T with per-axis overlap-weight matrices (two small
+    matmuls — MXU-friendly, matches torch 'area' interpolation)."""
     n, h, w, c = x.shape
-    ys = (jnp.arange(H) + 0.5) * h / H - 0.5
-    xs = (jnp.arange(W) + 0.5) * w / W - 0.5
-    y0 = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
-    return x[:, y0][:, :, x0]
+    wy = _overlap_matrix(H, h)                      # [H, h]
+    wx = _overlap_matrix(W, w)                      # [W, w]
+    y = jnp.einsum('Hh,nhwc->nHwc', wy, x)
+    return jnp.einsum('Ww,nHwc->nHWc', wx, y)
 
 
 # ---------------------------------------------------------------------------

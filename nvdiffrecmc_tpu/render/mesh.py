@@ -14,6 +14,15 @@ import numpy as np
 
 from ..ops import mesh_ops
 
+_GEOMETRY_UID = [0]
+
+
+def next_geometry_uid():
+    """Monotonic per-process id for geometry instances (jit-cache keys must
+    not use id(), which can be recycled after GC)."""
+    _GEOMETRY_UID[0] += 1
+    return _GEOMETRY_UID[0]
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass

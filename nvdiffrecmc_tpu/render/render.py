@@ -24,29 +24,6 @@ from ..ops import mesh_ops
 from . import texture as texture_mod
 
 
-def _sample_material(material, gb_pos, gb_texc, gb_texc_deriv, key):
-    """Texture / neural-texture lookups with jittered second taps for the
-    smoothness regularizer gradients (reference render.py:50-97)."""
-    B, H, W = gb_pos.shape[:3]
-    k1, k2 = jax.random.split(key)
-    perturbed_nrm = None
-    if 'kd_ks' in material:
-        sample_fn = material['kd_ks']  # callable: pos [.,3] -> [.,6]
-        noise = jax.random.normal(k2, gb_pos.shape) * 0.01
-        all_tex_jitter = sample_fn(gb_pos + noise)
-        all_tex = sample_fn(gb_pos)
-        kd, ks = all_tex[..., 0:3], all_tex[..., 3:6]
-        kd_grad = jnp.abs(all_tex_jitter[..., 0:3] - kd)
-        ks_grad = jnp.abs(all_tex_jitter[..., 3:6] - ks) * jnp.array([0., 1., 1.])
-        kd_full = kd
-        return kd_full, ks, None, kd_grad, ks_grad, None
-    kd = material['kd'].sample(gb_texc, gb_texc_deriv)
-    ks = material['ks'].sample(gb_texc, gb_texc_deriv)[..., 0:3]
-    if 'normal' in material:
-        perturbed_nrm = material['normal'].sample(gb_texc, gb_texc_deriv)
-    return kd, ks, perturbed_nrm, None, None, None
-
-
 def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
           gb_tangent, gb_texc, gb_texc_deriv, view_pos, lgt, material, bvh,
           bsdf, denoiser_sigma, shadow_scale, rnd_seed, perms, key):

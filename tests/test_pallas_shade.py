@@ -1,0 +1,152 @@
+"""Fused MC-shade pipeline: stage-A sampling kernel vs its jnp twin, and
+semantic checks against the envshade reference math."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nvdiffrecmc_tpu.ops import envshade
+from nvdiffrecmc_tpu.ops import pallas_shade as ps
+
+
+HL, WL = 32, 64
+N_SAMPLES_X = 2
+N2 = N_SAMPLES_X * N_SAMPLES_X
+P = 256  # one small ray block
+
+
+def dyadic_probe(seed=0):
+    """Light probe whose pdf/cdf tables are exactly representable in
+    bfloat16, so the kernel's bf16 one-hot gathers are bit-exact against
+    the fp32 twin."""
+    rng = np.random.RandomState(seed)
+    base = (rng.randint(1, 9, (HL, WL, 3)) / 8.0).astype(np.float32)
+    return jnp.asarray(base)
+
+
+def make_tables(base):
+    from nvdiffrecmc_tpu.render import light as light_mod
+    t = light_mod.update_pdf(base)
+    # round tables to bf16-exact values (keeps them valid CDFs: monotone,
+    # final entry 1.0 survives rounding since 1.0 is exact)
+    rnd = lambda x: jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
+    return rnd(t.pdf), rnd(t.rows), rnd(t.cols)
+
+
+def make_inputs(seed=1):
+    rng = np.random.RandomState(seed)
+    nrm = rng.randn(3, P).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=0, keepdims=True)
+    wo = rng.randn(3, P).astype(np.float32)
+    wo /= np.linalg.norm(wo, axis=0, keepdims=True)
+    # flip wo into the normal hemisphere for most pixels (leave a few back)
+    flip = (np.sum(nrm * wo, 0) < 0) & (rng.rand(P) < 0.9)
+    wo = np.where(flip[None], -wo, wo)
+    alpha = rng.uniform(0.08, 0.7, (1, P)).astype(np.float32) ** 2
+    p_diffuse = rng.uniform(0.0, 1.0, (1, P)).astype(np.float32)
+    gb8 = jnp.asarray(np.concatenate([nrm, wo, alpha, p_diffuse], 0))
+    u8 = ps.make_uniforms(jax.random.PRNGKey(seed), N2, P, N_SAMPLES_X)
+    return u8, gb8
+
+
+def test_stage_a_kernel_matches_twin():
+    base = dyadic_probe()
+    pdf, rows, cols = make_tables(base)
+    u8, gb8 = make_inputs()
+    got = ps.sample_all(u8, gb8, rows, cols, pdf, base, N_SAMPLES_X,
+                        ray_block=P, interpret=True)
+    want = ps.sample_all_jnp(u8, gb8, rows, cols, pdf, base, N_SAMPLES_X)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stage_a_light_sampling_unbiased():
+    """E[L(d)/pdf(d)] over light-importance samples must equal the
+    analytically-integrated probe radiance."""
+    base = dyadic_probe(seed=3)
+    pdf, rows, cols = make_tables(base)
+    Pbig = 8192
+    rng = np.random.RandomState(4)
+    nrm = np.tile(np.array([[0.0], [1.0], [0.0]], np.float32), (1, Pbig))
+    wo = nrm.copy()
+    gb8 = jnp.asarray(np.concatenate(
+        [nrm, wo, np.full((1, Pbig), 0.2, np.float32),
+         np.full((1, Pbig), 0.5, np.float32)], 0))
+    u8 = ps.make_uniforms(jax.random.PRNGKey(5), N2, Pbig, N_SAMPLES_X)
+    samp = ps.sample_all_jnp(u8, gb8, rows, cols, pdf, base, N_SAMPLES_X)
+
+    # exclude the bsdf-lobe MIS term: divide radiance by the pure light pdf
+    # (recompute from tables at the sampled texel)
+    tex = np.asarray(samp[:, ps.S_LTEX]).astype(np.int64).reshape(-1)
+    y, x = tex // WL, tex % WL
+    pdf_np = np.asarray(pdf)
+    vv = (np.asarray(samp[:, ps.S_LDIR + 1]).reshape(-1))  # dir y component
+    theta_w = (WL * HL) / (2 * math.pi ** 2
+                           * np.maximum(np.sin(np.arccos(
+                               np.clip(vv, -1, 1))), 1e-4))
+    pure_pdf = pdf_np[y, x] * theta_w
+    lum = np.asarray(samp[:, ps.S_LRAD:ps.S_LRAD + 3]).transpose(
+        0, 2, 1).reshape(-1, 3).mean(-1)
+    est = (lum / np.maximum(pure_pdf, 1e-12)).mean()
+
+    HH = np.arange(HL)
+    sin_th = np.sin((HH + 0.5) / HL * math.pi)
+    d_omega = (math.pi / HL) * (2 * math.pi / WL) * sin_th
+    want = float((np.asarray(base).mean(-1) * d_omega[:, None]).sum())
+    assert abs(est - want) / want < 0.05, (est, want)
+
+
+def test_component_math_matches_envshade_arrays():
+    """bsdf_pdf_c / bsdf_sample_c (component form) vs envshade's array
+    implementations on random inputs."""
+    rng = np.random.RandomState(7)
+    K = 512
+    nrm = rng.randn(K, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, -1, keepdims=True)
+    wo = rng.randn(K, 3).astype(np.float32)
+    wo /= np.linalg.norm(wo, -1, keepdims=True)
+    wi = rng.randn(K, 3).astype(np.float32)
+    wi /= np.linalg.norm(wi, -1, keepdims=True)
+    alpha = rng.uniform(0.08, 0.9, K).astype(np.float32) ** 2
+    pd = rng.uniform(0, 1, K).astype(np.float32)
+    u = rng.uniform(0, 1, K).astype(np.float32)
+    v = rng.uniform(0, 1, K).astype(np.float32)
+    z = rng.uniform(0, 1, K).astype(np.float32)
+
+    rows = lambda a: tuple(jnp.asarray(a[:, i]) for i in range(3))
+    want_pdf = envshade.bsdf_pdf_fn(jnp.asarray(pd), jnp.asarray(nrm),
+                                    jnp.asarray(wo), jnp.asarray(wi),
+                                    jnp.asarray(alpha))
+    got_pdf = ps.bsdf_pdf_c(jnp.asarray(pd), rows(nrm), rows(wo), rows(wi),
+                            jnp.asarray(alpha))
+    # component form uses rsqrt-based normalize: ~2e-3 rel rounding skew
+    np.testing.assert_allclose(np.asarray(got_pdf), np.asarray(want_pdf),
+                               rtol=5e-3, atol=5e-4)
+
+    want_dir, want_spdf = envshade.bsdf_sample(
+        jnp.asarray(pd), jnp.asarray(nrm), jnp.asarray(wo), jnp.asarray(u),
+        jnp.asarray(v), jnp.asarray(z), jnp.asarray(alpha))
+    got_dir, got_spdf = ps.bsdf_sample_c(
+        jnp.asarray(pd), rows(nrm), rows(wo), jnp.asarray(u),
+        jnp.asarray(v), jnp.asarray(z), jnp.asarray(alpha))
+    got_dir = np.stack([np.asarray(c) for c in got_dir], -1)
+    np.testing.assert_allclose(got_dir, np.asarray(want_dir),
+                               rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_spdf), np.asarray(want_spdf),
+                               rtol=5e-3, atol=1e-3)
+
+
+def test_poly_transcendentals():
+    x = jnp.linspace(-1, 1, 1001)
+    np.testing.assert_allclose(np.asarray(ps.acos_poly(x)),
+                               np.arccos(np.asarray(x)), atol=1.5e-4)
+    rng = np.random.RandomState(8)
+    a = rng.randn(1000).astype(np.float32)
+    b = rng.randn(1000).astype(np.float32)
+    # ~2e-4 rad max error; a light-probe texel spans 2*pi/W >~ 0.01 rad
+    np.testing.assert_allclose(
+        np.asarray(ps.atan2_poly(jnp.asarray(a), jnp.asarray(b))),
+        np.arctan2(a, b), atol=3e-4)

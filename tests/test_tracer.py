@@ -95,3 +95,44 @@ def test_pallas_kernel_interpret_matches_bruteforce():
     want = np.asarray(tracer.any_hit_bruteforce(
         ro, rd, v[t[:, 0]], v[t[:, 1]], v[t[:, 2]], tmin=0.0))
     assert (got == want).mean() > 0.99
+
+
+def test_overflow_counter_surfaces_dropped_pairs():
+    """k_pairs cap overflow must be counted, not silent (the Pallas backend
+    has no cap; this guards the jnp reference backend)."""
+    v, t = icosphere_like(400, seed=8)
+    bvh = bvh_mod.build(v, t, leaf_size=16)
+    rng = np.random.RandomState(9)
+    R = 512
+    ro = jnp.asarray(rng.uniform(-2, 2, (R, 3)).astype(np.float32))
+    rd = rng.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    _, dropped_big = tracer.any_hit_counted(ro, rd, bvh, ray_chunk=512,
+                                            k_pairs=32)
+    assert int(dropped_big) == 0
+    _, dropped_tiny = tracer.any_hit_counted(ro, rd, bvh, ray_chunk=512,
+                                             k_pairs=1)
+    assert int(dropped_tiny) > 0
+
+
+def test_any_hit_large_scene_stress():
+    """~100k-triangle scene vs brute force (VERDICT: cap behavior must be
+    validated at scale; Pallas path visits every leaf so the jnp twin with a
+    generous cap is the reference here)."""
+    v, t = icosphere_like(100_000, seed=11)
+    bvh = bvh_mod.build(v, t, leaf_size=128)
+    rng = np.random.RandomState(12)
+    R = 256
+    ro = jnp.asarray(rng.uniform(-2, 2, (R, 3)).astype(np.float32))
+    rd = rng.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    got, dropped = tracer.any_hit_counted(ro, rd, bvh, ray_chunk=256,
+                                          k_pairs=512)
+    assert int(dropped) == 0
+    want = np.asarray(tracer.any_hit_bruteforce(
+        ro, rd, v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]))
+    agree = (np.asarray(got) == want).mean()
+    assert agree > 0.995, f"agreement {agree}"
+    assert want.mean() > 0.1  # sanity: a nontrivial fraction of rays hit

@@ -520,7 +520,10 @@ def render_eval(geometry, geo_params, mat_params, mat_static, light_base,
     """Jitted eval render (reference validate protocol: n_samples=32, no
     denoiser, train.py:260-264).  One compiled program per (geometry
     instance, material kind, n_samples, bsdf-override)."""
-    ck = (id(geometry), mat_static['kind'], n_samples, bsdf)
+    # id() can be recycled after GC — use a per-instance uid (geometry
+    # classes assign one at construction) so a new geometry never hits a
+    # stale compiled closure over a dead instance.
+    ck = (geometry.uid, mat_static['kind'], n_samples, bsdf)
     if ck not in _EVAL_JIT_CACHE:
         F = dict(FLAGS)
         F['n_samples'] = n_samples
