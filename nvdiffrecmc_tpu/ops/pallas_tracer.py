@@ -133,19 +133,32 @@ def _mask_to_lists(mask_rows):
 # Main kernel: list-driven leaf walk with double-buffered HBM DMA
 # ---------------------------------------------------------------------------
 
-def _trace_kernel(count_ref, list_ref, rayf_ref, trimat_hbm, occ_ref,
-                  tri_vmem, sems, *, leaf_size, tmin, tri_dtype):
+def _trace_kernel(lists_hbm, rayf_ref, trimat_hbm, occ_ref,
+                  tri_vmem, lst, sems, lsem, *, leaf_size, tmin, tri_dtype):
+    """Visit lists live in HBM (SMEM on this chip is ~1 MB — whole-array
+    scalar prefetch does not scale); each block DMAs its own list row into
+    an SMEM scratch, then walks it with pure scalar control flow."""
     RB = rayf_ref.shape[0]
     L = leaf_size
     i = pl.program_id(0)
-    n = count_ref[i]
+
+    ldma = pltpu.make_async_copy(lists_hbm.at[i], lst, lsem)
+    ldma.start()
 
     occ_ref[:, 0] = jnp.zeros((RB,), jnp.float32)
     rayf = rayf_ref[:].astype(tri_dtype)
 
+    ldma.wait()
+    W = lst.shape[1]
+    n = lst[0, 0]
+
+    def leaf_id(j):
+        k = 1 + j
+        return lst[jax.lax.div(k, W), jax.lax.rem(k, W)]
+
     def dma(slot, j):
         return pltpu.make_async_copy(
-            trimat_hbm.at[list_ref[i, j]], tri_vmem.at[slot], sems.at[slot])
+            trimat_hbm.at[leaf_id(j)], tri_vmem.at[slot], sems.at[slot])
 
     @pl.when(n > 0)
     def _():
@@ -200,29 +213,34 @@ def trace_rayf(rayf, bvh: LeafBVH, tmin=0.0, tmax=1e16, ray_block=1024,
     mask_rows = visit_masks(rayf, bvh.aabb_lo, bvh.aabb_hi, ray_block,
                             tmin, tmax, interpret=interpret)
     counts, lists = _mask_to_lists(mask_rows)
+    merged = jnp.concatenate([counts[:, None], lists], axis=1)  # [NB, 1+C]
+    # DMA slices need (8, 128k) tile alignment: lay each block's list out as
+    # an [8, Cl/8] tile (row-major entries; kernel reads lst[k//W, k%W])
+    Cl = ((merged.shape[1] + 1023) // 1024) * 1024
+    merged = jnp.pad(merged, ((0, 0), (0, Cl - merged.shape[1])))
+    merged = merged.reshape(NB, 8, Cl // 8)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(NB,),
-        in_specs=[
-            pl.BlockSpec((ray_block, K_FEATS), lambda i, cnt, lst: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # trimat stays in HBM
-        ],
-        out_specs=pl.BlockSpec((ray_block, 1), lambda i, cnt, lst: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, K_FEATS, N_FIELDS * L), bvh.tri_mat.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
     occ = pl.pallas_call(
         functools.partial(_trace_kernel, leaf_size=L, tmin=tmin,
                           tri_dtype=bvh.tri_mat.dtype),
-        grid_spec=grid_spec,
+        grid=(NB,),
         out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # lists stay in HBM
+            pl.BlockSpec((ray_block, K_FEATS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # trimat stays in HBM
+        ],
+        out_specs=pl.BlockSpec((ray_block, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, K_FEATS, N_FIELDS * L), bvh.tri_mat.dtype),
+            pltpu.SMEM((8, Cl // 8), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
-    )(counts, lists, rayf, bvh.tri_mat)
+    )(merged, rayf, bvh.tri_mat)
     return occ.reshape(-1) > 0.0
 
 
