@@ -447,3 +447,579 @@ def make_uniforms(key, n2, P, n_samples_x, perms=None):
                        cell_b.astype(jnp.float32)], axis=1)  # [n2, 2, P]
     pad = jnp.zeros((n2, 1, P), jnp.float32)
     return jnp.concatenate([u, cells, pad], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Demodulated BSDF eval in component form (bsdf.h:222-236 semantics, matching
+# ops/bsdf.py clamps exactly so autodiff reproduces clamp-zero gradients)
+# ---------------------------------------------------------------------------
+
+SPECULAR_EPSILON = 1e-4
+MIN_ROUGHNESS = 0.08
+
+
+def _clip01(x):
+    return jnp.clip(x, SPECULAR_EPSILON, 1.0 - SPECULAR_EPSILON)
+
+
+def eval_demodulated_c(kd, ks, pos, nrm, view, wi, BSDF):
+    """kd/ks/pos/nrm/view/wi: component 3-tuples of [1, RB] rows.
+    Returns (diff scalar row, spec 3-tuple).  BSDF: 0=pbr, 1=diffuse,
+    2=white (diffuse/white use Lambert only; kd modulation happens outside,
+    render.py:112-116)."""
+    diff = jnp.maximum(dot3(nrm, wi), 0.0) / math.pi
+    if BSDF != 0:
+        z = jnp.zeros_like(diff)
+        return diff, (z, z, z)
+
+    wo = normalize3((view[0] - pos[0], view[1] - pos[1], view[2] - pos[2]))
+    occ, rough, metal = ks
+    alpha = jnp.clip(rough * rough, MIN_ROUGHNESS * MIN_ROUGHNESS, 1.0)
+    alpha_sqr = alpha * alpha
+    spec_col = tuple((0.04 * (1.0 - metal) + kd_c * metal) * (1.0 - occ)
+                     for kd_c in kd)
+
+    h = normalize3((wo[0] + wi[0], wo[1] + wi[1], wo[2] + wi[2]))
+    woDotN = dot3(wo, nrm)
+    wiDotN = dot3(wi, nrm)
+    woDotH = dot3(wo, h)
+    nDotH = dot3(nrm, h)
+
+    _c = _clip01(nDotH)
+    d_ = (_c * alpha_sqr - _c) * _c + 1.0
+    D = alpha_sqr / (d_ * d_ * math.pi)
+
+    def lam(ct):
+        c2 = _clip01(ct) ** 2
+        return 0.5 * (jnp.sqrt(1.0 + alpha_sqr * (1.0 - c2) / c2) - 1.0)
+
+    G = 1.0 / (1.0 + lam(woDotN) + lam(wiDotN))
+    fc = (1.0 - _clip01(woDotH)) ** 5.0
+    w = D * G * 0.25 / jnp.maximum(woDotN, SPECULAR_EPSILON)
+    front = ((woDotN > SPECULAR_EPSILON)
+             & (wiDotN > SPECULAR_EPSILON)).astype(diff.dtype)
+    spec = tuple((sc + (1.0 - sc) * fc) * w * front for sc in spec_col)
+    return diff, spec
+
+
+def _shade_stratum(samp16, gb, vis_l, vis_b, BSDF, sample_frac):
+    """Per-stratum shading accumulation (kernel.cu:403-461 role).
+    samp16 [16, RB]; gb: dict of component rows; vis_* [1, RB] in [0,1]
+    (may be pre-lerped by shadow_scale in the backward path).
+    Returns (diff3, spec3) contribution tuples."""
+    l_dir = (samp16[0:1], samp16[1:2], samp16[2:3])
+    b_dir = (samp16[3:4], samp16[4:5], samp16[5:6])
+    l_mis = 1.0 / jnp.maximum(samp16[6:7], 1e-4)
+    b_mis = 1.0 / jnp.maximum(samp16[7:8], 1e-4)
+    l_rad = (samp16[8:9], samp16[9:10], samp16[10:11])
+    b_rad = (samp16[11:12], samp16[12:13], samp16[13:14])
+
+    out_d = [0.0, 0.0, 0.0]
+    out_s = [0.0, 0.0, 0.0]
+    for wi, mis, rad, vis in ((l_dir, l_mis, l_rad, vis_l),
+                              (b_dir, b_mis, b_rad, vis_b)):
+        dd, ss = eval_demodulated_c(gb['kd'], gb['ks'], gb['pos'],
+                                    gb['nrm'], gb['view'], wi, BSDF)
+        wgt = vis * mis * sample_frac
+        for c in range(3):
+            out_d[c] = out_d[c] + dd * (rad[c] * wgt)
+            out_s[c] = out_s[c] + ss[c] * (rad[c] * wgt)
+    return tuple(out_d), tuple(out_s)
+
+
+def _gb_rows(gb_ref):
+    g = gb_ref[:]
+    return dict(
+        ro=(g[0:1], g[1:2], g[2:3]),
+        pos=(g[3:4], g[4:5], g[5:6]),
+        nrm=(g[6:7], g[7:8], g[8:9]),
+        view=(g[9:10], g[10:11], g[11:12]),
+        kd=(g[12:13], g[13:14], g[14:15]),
+        ks=(g[15:16], g[16:17], g[17:18]),
+        mask=g[18:19],
+    )
+
+
+BIG = 3e37
+
+
+def _trace_stratum(samp16, gb, lists_ref, s, trimat_ref, L, tri_dtype, tmin):
+    """In-kernel any-hit over this (block, stratum) visit list.  Returns
+    (vis_l, vis_b) [1, RB] float rows."""
+    RB = samp16.shape[-1]
+    mask = gb['mask'] > 0.0
+    o = tuple(jnp.where(mask, c, BIG) for c in gb['ro'])
+
+    def feats(dir3):
+        d = tuple(jnp.where(mask, c, 0.0) for c in dir3)
+        m = cross3(o, d)
+        return [d[0], d[1], d[2], m[0], m[1], m[2], o[0], o[1], o[2],
+                jnp.ones_like(d[0])]
+
+    rows = [jnp.concatenate([a, b], axis=-1) for a, b in zip(
+        feats((samp16[0:1], samp16[1:2], samp16[2:3])),
+        feats((samp16[3:4], samp16[4:5], samp16[5:6])))]
+    rows.append(jnp.zeros((6, 2 * RB), rows[0].dtype))
+    rayfT = jnp.concatenate(rows, axis=0)            # [16, 2RB]
+    rayf = rayfT.T.astype(tri_dtype)                 # [2RB, 16]
+
+    n = lists_ref[0, s, 0]
+
+    def body(j, occ_col):
+        c = lists_ref[0, s, j + 1]
+        E = jnp.dot(rayf, trimat_ref[c],
+                    preferred_element_type=jnp.float32)    # [2RB, 5L]
+        hit = decode_hits(E, L, tmin=tmin)
+        return jnp.maximum(
+            occ_col, jnp.max(hit.astype(jnp.float32), axis=-1,
+                             keepdims=True))
+
+    occ_col = jax.lax.fori_loop(
+        0, n, body, jnp.zeros((2 * RB, 1), jnp.float32))
+    vis = 1.0 - occ_col.T                            # [1, 2RB]
+    return vis[:, :RB], vis[:, RB:]
+
+
+def _shade_fwd_kernel(samp_ref, gb_ref, lists_ref, trimat_ref, out_ref,
+                      vis_ref, *, BSDF, n2, L, tri_dtype, tmin):
+    s = pl.program_id(1)
+    RB = gb_ref.shape[-1]
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    samp16 = samp_ref[0]
+    gb = _gb_rows(gb_ref)
+    vis_l, vis_b = _trace_stratum(samp16, gb, lists_ref, s, trimat_ref, L,
+                                  tri_dtype, tmin)
+    vis_ref[:] = jnp.concatenate([vis_l, vis_b], axis=-1)
+
+    ones = jnp.ones_like(vis_l)
+    d_v, s_v = _shade_stratum(samp16, gb, vis_l, vis_b, BSDF, 1.0 / n2)
+    d_a, s_a = _shade_stratum(samp16, gb, ones, ones, BSDF, 1.0 / n2)
+    acc = jnp.concatenate([d_v[0], d_v[1], d_v[2], s_v[0], s_v[1], s_v[2],
+                           d_a[0], d_a[1], d_a[2], s_a[0], s_a[1], s_a[2],
+                           jnp.zeros((4, RB), jnp.float32)], axis=0)
+    out_ref[:] = out_ref[:] + acc
+
+
+def _shade_bwd_kernel(samp_ref, gb_ref, visw_ref, g_ref, dgb_ref, drad_ref,
+                      *, BSDF, n2):
+    """Backward: given per-ray shadow-lerped visibility weights (visw) and
+    output cotangents g [6, RB] (d_diff 3, d_spec 3), produce gradients for
+    the G-buffer rows and the per-ray radiance cotangents (for the light
+    scatter stage).  Uses jax.vjp *inside* the kernel: the adjoint vector
+    ops compile like any other Mosaic code — no hand-derived adjoints."""
+    s = pl.program_id(1)
+    RB = gb_ref.shape[-1]
+
+    @pl.when(s == 0)
+    def _():
+        dgb_ref[:] = jnp.zeros(dgb_ref.shape, dgb_ref.dtype)
+
+    samp16 = samp_ref[0]
+    gb = _gb_rows(gb_ref)
+    visw = visw_ref[:]                        # [1, 2RB]
+    vis_l, vis_b = visw[:, :RB], visw[:, RB:]
+    g = g_ref[:]
+    g_d = (g[0:1], g[1:2], g[2:3])
+    g_s = (g[3:4], g[4:5], g[5:6])
+
+    def f(kd, ks, pos, nrm, view, l_rad, b_rad):
+        samp_mod = jnp.concatenate(
+            [samp16[0:8], l_rad[0], l_rad[1], l_rad[2],
+             b_rad[0], b_rad[1], b_rad[2], samp16[14:16]], axis=0)
+        gb2 = dict(gb, kd=kd, ks=ks, pos=pos, nrm=nrm, view=view)
+        d3, s3 = _shade_stratum(samp_mod, gb2, vis_l, vis_b, BSDF, 1.0 / n2)
+        return d3 + s3
+
+    l_rad = (samp16[8:9], samp16[9:10], samp16[10:11])
+    b_rad = (samp16[11:12], samp16[12:13], samp16[13:14])
+    _, vjp = jax.vjp(f, gb['kd'], gb['ks'], gb['pos'], gb['nrm'], gb['view'],
+                     l_rad, b_rad)
+    d_kd, d_ks, d_pos, d_nrm, d_view, d_lrad, d_brad = vjp(g_d + g_s)
+
+    dgb = jnp.concatenate(
+        [jnp.zeros((3, RB), jnp.float32),
+         d_pos[0], d_pos[1], d_pos[2], d_nrm[0], d_nrm[1], d_nrm[2],
+         d_view[0], d_view[1], d_view[2], d_kd[0], d_kd[1], d_kd[2],
+         d_ks[0], d_ks[1], d_ks[2],
+         jnp.zeros((6, RB), jnp.float32)], axis=0)
+    dgb_ref[:] = dgb_ref[:] + dgb
+    drad_ref[0] = jnp.concatenate(
+        [d_lrad[0], d_lrad[1], d_lrad[2], d_brad[0], d_brad[1], d_brad[2],
+         samp16[14:15], samp16[15:16]], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Stage D: light-gradient scatter kernel (atomicAdd role, kernel.cu:203-211)
+# ---------------------------------------------------------------------------
+
+def _light_scatter_kernel(drad_ref, dbase_ref, *, Hl, Wl):
+    """Accumulate d_baseT^T [Hl, 3Wl] += onehot_y [Hl, R] @ gx [R, 3Wl]
+    where gx[r, c*Wl + x_r] = d_rad_c[r]."""
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when((s == 0) & (i == 0))
+    def _():
+        dbase_ref[:] = jnp.zeros(dbase_ref.shape, dbase_ref.dtype)
+
+    d = drad_ref[0]                          # [8, RB]
+    RB = d.shape[-1]
+
+    def scatter(g3, tex_row):
+        y = jnp.floor(tex_row / Wl)
+        x = tex_row - y * Wl
+        ohy = _onehot_sub(y, Hl).astype(jnp.bfloat16)          # [Hl, RB]
+        # gxT [RB, 3Wl] built directly in ray-major layout
+        xcol = x.reshape(RB, 1)
+        lane = jax.lax.broadcasted_iota(jnp.float32, (RB, 3 * Wl), 1)
+        lane_mod = lane - Wl * jnp.floor(lane / Wl)
+        ohx = (lane_mod == xcol).astype(jnp.float32)
+        gcol = jnp.concatenate(
+            [jnp.broadcast_to(g3[c].reshape(RB, 1), (RB, Wl))
+             for c in range(3)], axis=-1)
+        gx = (ohx * gcol).astype(jnp.bfloat16)
+        return jnp.dot(ohy, gx, preferred_element_type=jnp.float32)
+
+    acc = scatter((d[0:1], d[1:2], d[2:3]), d[6:7])
+    acc = acc + scatter((d[3:4], d[4:5], d[5:6]), d[7:8])
+    dbase_ref[:] = dbase_ref[:] + acc
+
+
+@functools.partial(jax.jit, static_argnames=('ray_block', 'interpret'))
+def light_scatter(drad, Hl, Wl, ray_block=1024, interpret=False):
+    """drad [n2, 8, P] (rows: d_lrad 3, d_brad 3, tex_l, tex_b) ->
+    d_base [Hl, Wl, 3]."""
+    n2, _, P = drad.shape
+    NB = P // ray_block
+    dbT = pl.pallas_call(
+        functools.partial(_light_scatter_kernel, Hl=Hl, Wl=Wl),
+        grid=(n2, NB),
+        in_specs=[pl.BlockSpec((1, 8, ray_block), lambda s, i: (s, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((Hl, 3 * Wl), lambda s, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hl, 3 * Wl), jnp.float32),
+        interpret=interpret,
+    )(drad)
+    return dbT.reshape(Hl, 3, Wl).transpose(0, 2, 1)
+
+
+def light_scatter_jnp(drad, Hl, Wl):
+    """jnp twin of the scatter stage."""
+    n2, _, P = drad.shape
+    tex_l = drad[:, 6].astype(jnp.int32).reshape(-1)
+    tex_b = drad[:, 7].astype(jnp.int32).reshape(-1)
+    g_l = drad[:, 0:3].transpose(0, 2, 1).reshape(-1, 3)
+    g_b = drad[:, 3:6].transpose(0, 2, 1).reshape(-1, 3)
+    out = jnp.zeros((Hl * Wl, 3), jnp.float32)
+    out = out.at[tex_l].add(g_l)
+    out = out.at[tex_b].add(g_b)
+    return out.reshape(Hl, Wl, 3)
+
+
+# ---------------------------------------------------------------------------
+# Full fused env_shade: stages A (sample) -> B (visit lists) -> C (trace +
+# shade) forward; C' (shade adjoint, no re-trace) -> D (light scatter)
+# backward.  Drop-in replacement for envshade.env_shade on TPU.
+# ---------------------------------------------------------------------------
+
+def _pad_to(x, n, axis=0, value=0.0):
+    pad = (-x.shape[axis]) % n
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _build_lists(samp, ro_m, mask, bvh, ray_block, tmin, interpret):
+    """Stage B: per (pixel block, stratum) leaf visit lists over the union
+    of the block's light+bsdf rays (ordered [light RB | bsdf RB] to match
+    the trace kernel's rayf layout)."""
+    from . import pallas_tracer as pt
+    n2, _, Pp = samp.shape
+    NB = Pp // ray_block
+    C = bvh.n_leaves
+    mask_col = mask[:, None]
+
+    def one(samp_s):
+        l_dir = jnp.where(mask_col, samp_s[0:3].T, 0.0)
+        b_dir = jnp.where(mask_col, samp_s[3:6].T, 0.0)
+        d = jnp.stack([l_dir, b_dir], axis=0)        # [2, Pp, 3]
+        o = jnp.broadcast_to(ro_m[None], (2, Pp, 3))
+        # group as [NB, 2*RB]: light rays then bsdf rays of the same block
+        d = d.reshape(2, NB, ray_block, 3).transpose(1, 0, 2, 3)
+        o = o.reshape(2, NB, ray_block, 3).transpose(1, 0, 2, 3)
+        from .bvh import ray_features
+        rayf = ray_features(o.reshape(-1, 3), d.reshape(-1, 3))
+        m = pt.visit_masks(rayf, bvh.aabb_lo, bvh.aabb_hi, 2 * ray_block,
+                           tmin, 1e16, interpret=interpret)
+        counts, lists = pt._mask_to_lists(m)         # [NB], [NB, C]
+        return counts, lists
+
+    counts, lists = jax.lax.map(one, samp)           # [n2, NB], [n2, NB, C]
+    merged = jnp.concatenate(
+        [counts.transpose(1, 0)[:, :, None],
+         lists.transpose(1, 0, 2)], axis=-1)         # [NB, n2, 1 + C]
+    Cl = ((1 + C + 127) // 128) * 128
+    return _pad_to(merged.astype(jnp.int32), Cl, axis=2)
+
+
+def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
+                    light_base, light_pdf_tex, rows, cols, bvh, perms,
+                    rnd_seed, shadow_scale, BSDF=0, n_samples_x=8,
+                    ray_block=1024, tmin=0.0, interpret=False):
+    """Fused-Pallas Monte-Carlo direct lighting; same contract as
+    envshade.env_shade (demodulated diffuse/specular, [B,H,W,3] each)."""
+    from .envshade import _luminance, _spec_albedo
+
+    B, H, W = mask.shape
+    P = B * H * W
+    m_flat = mask.reshape(P) > 0
+    n2 = n_samples_x * n_samples_x
+
+    def flat(x):
+        return x.reshape(P, 3)
+
+    pos, nrm, view, kd, ks = map(flat, (gb_pos, gb_normal, gb_view_pos,
+                                        gb_kd, gb_ks))
+    ro_f = flat(ro)
+
+    # lobe-selection quantities (stop-grad, kernel.cu:495-502)
+    sg = jax.lax.stop_gradient
+    wo = sg(gb_view_pos - gb_pos).reshape(P, 3)
+    wo = wo / jnp.maximum(jnp.linalg.norm(wo, axis=-1, keepdims=True), 1e-20)
+    ks_sg = sg(ks)
+    kd_sg = sg(kd)
+    nrm_sg = sg(nrm)
+    alpha = ks_sg[:, 1] * ks_sg[:, 1]
+    metallic = ks_sg[:, 2]
+    spec_col = 0.04 * (1.0 - metallic[:, None]) + kd_sg * metallic[:, None]
+    dw = (1.0 - metallic) * _luminance(kd_sg)
+    sw = _spec_albedo(spec_col, wo, nrm_sg)
+    denom = dw + sw
+    p_diffuse = jnp.where(denom > 0.0, dw / jnp.maximum(denom, 1e-20), 1.0)
+
+    u8 = make_uniforms(jax.random.PRNGKey(rnd_seed), n2, P, n_samples_x,
+                       perms)
+    # pad the pixel axis to the block size
+    Pp = P + ((-P) % ray_block)
+    u8 = _pad_to(u8, ray_block, axis=2)
+    m_p = _pad_to(m_flat, ray_block, axis=0, value=False)
+    gb8 = jnp.concatenate(
+        [nrm_sg.T, wo.T, alpha[None], p_diffuse[None]], axis=0)
+    gb8 = _pad_to(gb8, ray_block, axis=1)
+    NB = Pp // ray_block
+
+    rows_sg, cols_sg, pdf_sg = sg(rows), sg(cols), sg(light_pdf_tex)
+    Hl, Wl = cols.shape
+    L = bvh.leaf_size
+    C = bvh.n_leaves
+    n_out_rows = 16
+
+    def pack_gb(pos_, nrm_, view_, kd_, ks_):
+        g = jnp.concatenate(
+            [ro_f.T, pos_.T, nrm_.T, view_.T, kd_.T, ks_.T,
+             m_flat[None].astype(jnp.float32),
+             jnp.zeros((5, P), jnp.float32)], axis=0)
+        return _pad_to(g, ray_block, axis=1)         # [24, Pp]
+
+    @jax.custom_vjp
+    def f(base, pos_, nrm_, view_, kd_, ks_):
+        out, _, _, _ = _fwd_impl(base, pos_, nrm_, view_, kd_, ks_)
+        return out
+
+    def _fwd_impl(base, pos_, nrm_, view_, kd_, ks_):
+        # Stage A's in-kernel radiance fetch provides the forward values;
+        # the gradient into `base` is produced by the stage-D scatter in
+        # bwd() from the stored texel indices — the exact adjoint of the
+        # nearest-texel fetch (kernel.cu:195-211 semantics).
+        samp = sample_all(u8, gb8, rows_sg, cols_sg, pdf_sg, sg(base),
+                          n_samples_x, ray_block=ray_block,
+                          interpret=interpret)
+        ro_m = jnp.where(m_p[:, None], _pad_to(ro_f, ray_block, axis=0),
+                         BIG)
+        lists = _build_lists(jax.lax.stop_gradient(samp), ro_m, m_p, bvh,
+                             ray_block, tmin, interpret)
+        Cl = lists.shape[-1]
+
+        gbC = pack_gb(pos_, nrm_, view_, kd_, ks_)
+        out, visw = pl.pallas_call(
+            functools.partial(_shade_fwd_kernel, BSDF=BSDF, n2=n2, L=L,
+                              tri_dtype=bvh.tri_mat.dtype, tmin=tmin),
+            grid=(NB, n2),
+            in_specs=[
+                pl.BlockSpec((1, 16, ray_block), lambda i, s: (s, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((24, ray_block), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n2, Cl), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((C, K_FEATS, N_FIELDS * L),
+                             lambda i, s: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((16, ray_block), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * ray_block), lambda i, s: (s, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((16, Pp), jnp.float32),
+                jax.ShapeDtypeStruct((n2, 2 * Pp), jnp.float32),
+            ),
+            interpret=interpret,
+        )(jax.lax.stop_gradient(samp), jax.lax.stop_gradient(gbC), lists,
+          bvh.tri_mat)
+
+        ss = shadow_scale
+        mrow = m_p[None].astype(jnp.float32)
+        diff = (ss * out[0:3] + (1.0 - ss) * out[6:9]) * mrow
+        spec = (ss * out[3:6] + (1.0 - ss) * out[9:12]) * mrow
+        res = (diff[:, :P].T.reshape(B, H, W, 3),
+               spec[:, :P].T.reshape(B, H, W, 3))
+        return res, samp, visw, gbC
+
+    def fwd(base, pos_, nrm_, view_, kd_, ks_):
+        out, samp, visw, gbC = _fwd_impl(base, pos_, nrm_, view_, kd_, ks_)
+        return out, (samp, visw, gbC)
+
+    def bwd(resid, g):
+        samp, visw, gbC = resid
+        g_diff, g_spec = g
+        ss = shadow_scale
+        vw = visw * ss + (1.0 - ss)                  # per-ray shadow lerp
+        mrow = m_p[None].astype(jnp.float32)
+        grows = jnp.concatenate(
+            [_pad_to(g_diff.reshape(P, 3).T, ray_block, axis=1) * mrow,
+             _pad_to(g_spec.reshape(P, 3).T, ray_block, axis=1) * mrow,
+             jnp.zeros((2, Pp), jnp.float32)], axis=0)   # [8, Pp]
+
+        dgb, drad = pl.pallas_call(
+            functools.partial(_shade_bwd_kernel, BSDF=BSDF, n2=n2),
+            grid=(NB, n2),
+            in_specs=[
+                pl.BlockSpec((1, 16, ray_block), lambda i, s: (s, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((24, ray_block), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * ray_block), lambda i, s: (s, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, ray_block), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((24, ray_block), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, ray_block), lambda i, s: (s, 0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((24, Pp), jnp.float32),
+                jax.ShapeDtypeStruct((n2, 8, Pp), jnp.float32),
+            ),
+            interpret=interpret,
+        )(samp, gbC, vw, grows)
+
+        d_base = (light_scatter(drad, Hl, Wl, ray_block=ray_block,
+                                interpret=interpret)
+                  if not interpret else light_scatter_jnp(drad, Hl, Wl))
+
+        def unrow(lo):
+            return dgb[lo:lo + 3, :P].T.reshape(B, H, W, 3)
+
+        return (d_base, unrow(3), unrow(6), unrow(9), unrow(12), unrow(15))
+
+    f.defvjp(fwd, bwd)
+    return f(light_base, pos, nrm, view, kd, ks)
+
+
+def env_shade_fused_jnp(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd,
+                        gb_ks, light_base, light_pdf_tex, rows, cols, bvh,
+                        perms, rnd_seed, shadow_scale, BSDF=0, n_samples_x=8,
+                        tmin=0.0, ray_chunk=65536, k_pairs=64):
+    """jnp twin of env_shade_fused: identical sampling math (sample_all_jnp),
+    jnp wavefront tracer, identical shading formulas.  Fully differentiable
+    via JAX AD (radiance refetched through a differentiable gather whose
+    adjoint is the scatter-add the fused path implements in stage D).  Used
+    as the CPU backend and the correctness oracle for the fused kernels."""
+    from . import tracer
+    from .envshade import _luminance, _spec_albedo
+
+    B, H, W = mask.shape
+    P = B * H * W
+    n2 = n_samples_x * n_samples_x
+    m_flat = mask.reshape(P) > 0
+
+    pos = gb_pos.reshape(P, 3)
+    nrm = gb_normal.reshape(P, 3)
+    view = gb_view_pos.reshape(P, 3)
+    kd = gb_kd.reshape(P, 3)
+    ks = gb_ks.reshape(P, 3)
+    ro_f = ro.reshape(P, 3)
+
+    sg = jax.lax.stop_gradient
+    wo_arr = sg(view - pos)
+    wo_arr = wo_arr / jnp.maximum(
+        jnp.linalg.norm(wo_arr, axis=-1, keepdims=True), 1e-20)
+    ks_sg, kd_sg, nrm_sg = sg(ks), sg(kd), sg(nrm)
+    alpha = ks_sg[:, 1] * ks_sg[:, 1]
+    metallic = ks_sg[:, 2]
+    spec_col = 0.04 * (1.0 - metallic[:, None]) + kd_sg * metallic[:, None]
+    dw = (1.0 - metallic) * _luminance(kd_sg)
+    sw = _spec_albedo(spec_col, wo_arr, nrm_sg)
+    denom = dw + sw
+    p_diffuse = jnp.where(denom > 0.0, dw / jnp.maximum(denom, 1e-20), 1.0)
+
+    u8 = make_uniforms(jax.random.PRNGKey(rnd_seed), n2, P, n_samples_x,
+                       perms)
+    gb8 = jnp.concatenate(
+        [nrm_sg.T, wo_arr.T, alpha[None], p_diffuse[None]], axis=0)
+    samp = sample_all_jnp(u8, gb8, sg(rows), sg(cols), sg(light_pdf_tex),
+                          sg(light_base), n_samples_x)
+    samp = sg(samp)
+
+    # differentiable radiance refetch (adjoint == stage-D scatter-add)
+    tex = samp[:, 14:16].astype(jnp.int32)           # [n2, 2, P]
+    rad = light_base.reshape(-1, 3)[tex.reshape(-1)].reshape(n2, 2, P, 3)
+    rad_rows = jnp.concatenate(
+        [rad[:, 0].transpose(0, 2, 1), rad[:, 1].transpose(0, 2, 1)],
+        axis=1)                                       # [n2, 6, P]
+    samp = jnp.concatenate([samp[:, 0:8], rad_rows, samp[:, 14:16]], axis=1)
+
+    ro_m = jnp.where(m_flat[:, None], ro_f, BIG)
+    mask_col = m_flat[:, None]
+
+    gb = dict(
+        pos=tuple(pos.T[c][None] for c in range(3)),
+        nrm=tuple(nrm.T[c][None] for c in range(3)),
+        view=tuple(view.T[c][None] for c in range(3)),
+        kd=tuple(kd.T[c][None] for c in range(3)),
+        ks=tuple(ks.T[c][None] for c in range(3)),
+    )
+
+    diff = jnp.zeros((3, P))
+    spec = jnp.zeros((3, P))
+    for s in range(n2):
+        samp_s = samp[s]
+        l_dir = jnp.where(mask_col, samp_s[0:3].T, 0.0)
+        b_dir = jnp.where(mask_col, samp_s[3:6].T, 0.0)
+        occ = tracer.any_hit(
+            sg(jnp.concatenate([ro_m, ro_m], 0)),
+            sg(jnp.concatenate([l_dir, b_dir], 0)), bvh, tmin=tmin,
+            ray_chunk=min(ray_chunk, 2 * P), k_pairs=k_pairs)
+        vis = 1.0 - occ.astype(jnp.float32)
+        vis = vis * shadow_scale + (1.0 - shadow_scale)
+        d3, s3 = _shade_stratum(samp_s, gb, vis[None, :P], vis[None, P:],
+                                BSDF, 1.0 / n2)
+        diff = diff + jnp.concatenate(d3, axis=0)
+        spec = spec + jnp.concatenate(s3, axis=0)
+
+    mrow = m_flat[None].astype(jnp.float32)
+    return ((diff * mrow).T.reshape(B, H, W, 3),
+            (spec * mrow).T.reshape(B, H, W, 3))

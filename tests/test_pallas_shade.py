@@ -150,3 +150,86 @@ def test_poly_transcendentals():
     np.testing.assert_allclose(
         np.asarray(ps.atan2_poly(jnp.asarray(a), jnp.asarray(b))),
         np.arctan2(a, b), atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# Integrated fused env_shade vs jnp twin (values + gradients)
+# ---------------------------------------------------------------------------
+
+def _scene(P_side=16, seed=21):
+    """Fabricated G-buffer over a ground plane with a triangle blocker
+    overhead: clear geometry so fp32 visibility agrees between backends."""
+    from nvdiffrecmc_tpu.ops import bvh as bvh_mod
+    rng = np.random.RandomState(seed)
+    B, H, W = 1, P_side, P_side
+    xs = np.linspace(-1, 1, W, dtype=np.float32)
+    zs = np.linspace(-1, 1, H, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, zs)
+    pos = np.stack([gx, np.zeros_like(gx), gz], -1)[None]
+    nrm = np.zeros_like(pos)
+    nrm[..., 1] = 1.0
+    view = pos + np.array([0.3, 2.0, 0.1], np.float32)
+    kd = rng.uniform(0.2, 0.9, pos.shape).astype(np.float32)
+    ks = np.stack([np.zeros_like(gx),
+                   rng.uniform(0.3, 0.8, gx.shape),
+                   rng.uniform(0.0, 1.0, gx.shape)], -1)[None].astype(
+                       np.float32)
+    mask = np.ones((B, H, W), np.float32)
+    mask[:, :2, :2] = 0.0
+    ro = pos + nrm * 1e-3
+
+    # blocker: big triangle hovering over one quadrant
+    v = jnp.asarray(np.array([[-1.0, 0.5, -1.0], [0.0, 0.5, -1.0],
+                              [-1.0, 0.5, 0.0]], np.float32))
+    t = jnp.asarray(np.array([[0, 1, 2]], np.int32))
+    bvh = bvh_mod.build(v, t, leaf_size=16)
+    j = jnp.asarray
+    return (j(mask), j(ro), j(pos), j(nrm), j(view), j(kd), j(ks)), bvh
+
+
+def _light_setup():
+    base = dyadic_probe(seed=9)
+    pdf, rows, cols = make_tables(base)
+    return base, pdf, rows, cols
+
+
+def test_fused_fwd_matches_twin():
+    from nvdiffrecmc_tpu.ops.pallas_shade import (env_shade_fused,
+                                                  env_shade_fused_jnp)
+    (mask, ro, pos, nrm, view, kd, ks), bvh = _scene()
+    base, pdf, rows, cols = _light_setup()
+    args = (mask, ro, pos, nrm, view, kd, ks, base, pdf, rows, cols, bvh,
+            None, 7, 0.75)
+    kw = dict(BSDF=0, n_samples_x=2)
+    d1, s1 = env_shade_fused(*args, ray_block=64, interpret=True, **kw)
+    d2, s2 = env_shade_fused_jnp(*args, **kw)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-4, atol=1e-5)
+    assert float(jnp.abs(d1).sum()) > 0.1  # sanity: non-trivial image
+
+
+def test_fused_grads_match_twin():
+    from nvdiffrecmc_tpu.ops.pallas_shade import (env_shade_fused,
+                                                  env_shade_fused_jnp)
+    (mask, ro, pos, nrm, view, kd, ks), bvh = _scene()
+    base, pdf, rows, cols = _light_setup()
+    rng = np.random.RandomState(31)
+    gd = jnp.asarray(rng.randn(*pos.shape).astype(np.float32))
+    gs = jnp.asarray(rng.randn(*pos.shape).astype(np.float32))
+
+    def loss(fn, base_, pos_, nrm_, view_, kd_, ks_, **kw):
+        d, s = fn(mask, ro, pos_, nrm_, view_, kd_, ks_, base_, pdf, rows,
+                  cols, bvh, None, 7, 0.75, BSDF=0, n_samples_x=2, **kw)
+        return jnp.sum(d * gd) + jnp.sum(s * gs)
+
+    g1 = jax.grad(lambda *a: loss(env_shade_fused, *a, ray_block=64,
+                                  interpret=True),
+                  argnums=(0, 1, 2, 3, 4, 5))(base, pos, nrm, view, kd, ks)
+    g2 = jax.grad(lambda *a: loss(env_shade_fused_jnp, *a),
+                  argnums=(0, 1, 2, 3, 4, 5))(base, pos, nrm, view, kd, ks)
+    names = ['base', 'pos', 'nrm', 'view', 'kd', 'ks']
+    for n, a, b in zip(names, g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=n)
