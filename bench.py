@@ -151,7 +151,23 @@ def bench_train(iters=12):
     return 1.0 / dt
 
 
+def profile_step(trace_dir='/tmp/nvdiffrecmc_tpu_trace'):
+    """Capture a jax.profiler trace of a few steady-state train steps.
+    View with Perfetto (ui.perfetto.dev) or tensorboard --logdir.
+    Usage: python bench.py --profile [trace_dir]."""
+    # warm up compile outside the trace window
+    bench_train(iters=3)
+    with jax.profiler.trace(trace_dir):
+        bench_train(iters=4)
+    print("trace written to", trace_dir)
+
+
 def main():
+    if '--profile' in sys.argv:
+        idx = sys.argv.index('--profile')
+        args = sys.argv[idx + 1:idx + 2]
+        profile_step(*args)
+        return
     t_start = time.time()
     mrays = bench_tracer()
     iters_per_sec = bench_train()

@@ -121,6 +121,13 @@ def parse_flags(argv=None):
         data = json.load(open(FLAGS['config'], 'r'))
         for key in data:
             FLAGS[key] = data[key]
+        # explicitly-passed CLI flags win over the config file (so
+        # `--config spot.json -i 20` runs 20 iters); argparse defaults do
+        # not.  The reference lets the config clobber the CLI — that makes
+        # short smoke runs impossible without editing configs.
+        for k, v in vars(args).items():
+            if v != parser.get_default(k):
+                FLAGS[k] = v
 
     if FLAGS['display_res'] is None:
         FLAGS['display_res'] = FLAGS['train_res']

@@ -200,9 +200,14 @@ class DMTetGeometry:
         uvs, self.uv_N = map_uv_tables(num_tets)
         self.uvs = jnp.asarray(uvs)
         # MAX_TRIS: the surface of a blob at grid resolution r has O(r^2)
-        # crossing tets; 16*r^2 is a comfortable bound for the shapes the
-        # reference targets (64 -> 64k slots, 128 -> 256k).
-        self.max_tris = max_tris or 16 * grid_res * grid_res
+        # crossing tets.  The reference's uniform-random SDF init (rand-0.1,
+        # dmtet.py:195) measures 72k surface tris at r=64, decaying as the
+        # SDF smooths, so 16*r^2 truncates the first iterations (observed
+        # via the tri_count overflow warning); 24*r^2 covers init with
+        # margin (r=64 -> 98k slots, r=128 -> 393k).  Slots past the live
+        # count are near-free: their raster chunks bbox-cull and their BVH
+        # leaves have inverted AABBs, so only the setup matmuls see them.
+        self.max_tris = max_tris or 24 * grid_res * grid_res
         rng = np.random.RandomState(seed)
         sdf = rng.rand(self.verts.shape[0]).astype(np.float32) - 0.1
         self.init_params = {
@@ -215,6 +220,24 @@ class DMTetGeometry:
 
     def getAABB(self):
         return (jnp.min(self.verts, axis=0), jnp.max(self.verts, axis=0))
+
+    def tri_count(self, params):
+        """Host-side overflow check: (n_surface_tris, max_tris slots).
+
+        The static-shape marching tets silently drops triangles past
+        `max_tris` (the reference's dynamic shapes, dmtet.py:126-137, never
+        truncate) — the driver polls this at its host-sync points and warns
+        loudly so truncation is never a silent wrong-gradient failure."""
+        if not hasattr(self, '_tri_count_jit'):
+            @jax.jit
+            def f(sdf):
+                occ = sdf > 0
+                occ_f = occ[self.indices]
+                tetindex = (occ_f * jnp.array([1, 2, 4, 8])).sum(axis=-1)
+                ntt = jnp.asarray(NUM_TRIANGLES_TABLE)
+                return jnp.sum(ntt[tetindex])
+            self._tri_count_jit = f
+        return int(self._tri_count_jit(params['sdf'])), self.max_tris
 
     def getMesh(self, params, material, build_bvh=True, leaf_size=128):
         v_deformed = (self.verts

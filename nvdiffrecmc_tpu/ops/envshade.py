@@ -367,8 +367,16 @@ def _eval_sample_bsdf(gb_kd, gb_ks, gb_pos, gb_normal, gb_view_pos, wi, BSDF):
 # ---------------------------------------------------------------------------
 
 def _default_backend():
-    """Pallas kernels on real TPUs; jnp reference path on CPU (tests)."""
-    return 'pallas' if jax.default_backend() not in ('cpu',) else 'jnp'
+    """Fused Pallas pipeline on real TPUs; jnp reference path on CPU
+    (tests).  'pallas' selects the standalone tracer kernel with the jnp
+    sampling path (round-1 production path, kept for A/B)."""
+    return 'fused' if jax.default_backend() not in ('cpu',) else 'jnp'
+
+
+# The fused pipeline materializes [n2, {8,16}, P] sample/uniform arrays; at
+# validation-scale n_samples (32 -> n2=1024) that is tens of GB.  Past this
+# stratum count, fall back to the O(P)-memory lax.scan path.
+_FUSED_MAX_N2 = 256
 
 
 @partial(jax.jit, static_argnames=('BSDF', 'n_samples_x', 'ray_chunk',
@@ -383,6 +391,17 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
     light_pdf_tex [Hl,Wl]; rows [Hl]; cols [Hl,Wl]; bvh: LeafBVH;
     perms [NPERM, n^2] int32; rnd_seed scalar int32; shadow_scale scalar.
     Returns (diffuse_accum, specular_accum) [B,H,W,3], demodulated."""
+    eff_backend = backend or _default_backend()
+    if (eff_backend == 'fused'
+            and n_samples_x * n_samples_x <= _FUSED_MAX_N2):
+        from .pallas_shade import env_shade_fused
+        return env_shade_fused(
+            mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
+            light_base, light_pdf_tex, rows, cols, bvh, perms, rnd_seed,
+            shadow_scale, BSDF=BSDF, n_samples_x=n_samples_x)
+    if eff_backend == 'fused':
+        eff_backend = 'pallas'
+    backend = eff_backend
     B, H, W = mask.shape
     P = B * H * W
     m = mask.reshape(P) > 0

@@ -259,7 +259,8 @@ S_LRAD, S_BRAD, S_LTEX, S_BTEX = 8, 11, 14, 15
 
 def _onehot_sub(idx_row, K):
     """[K, RB] one-hot of idx [1, RB] along sublanes."""
-    iota = jax.lax.broadcasted_iota(jnp.float32, (K, idx_row.shape[-1]), 0)
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (K, idx_row.shape[-1]), 0).astype(jnp.float32)
     return (iota == idx_row).astype(jnp.float32)
 
 
@@ -543,9 +544,8 @@ def _gb_rows(gb_ref):
 BIG = 3e37
 
 
-def _trace_stratum(samp16, gb, lists_ref, s, trimat_ref, L, tri_dtype, tmin):
-    """In-kernel any-hit over this (block, stratum) visit list.  Returns
-    (vis_l, vis_b) [1, RB] float rows."""
+def _ray_features_rows(samp16, gb, tri_dtype):
+    """Plücker ray features for this block's light+bsdf rays: [2RB, 16]."""
     RB = samp16.shape[-1]
     mask = gb['mask'] > 0.0
     o = tuple(jnp.where(mask, c, BIG) for c in gb['ro'])
@@ -561,39 +561,75 @@ def _trace_stratum(samp16, gb, lists_ref, s, trimat_ref, L, tri_dtype, tmin):
         feats((samp16[3:4], samp16[4:5], samp16[5:6])))]
     rows.append(jnp.zeros((6, 2 * RB), rows[0].dtype))
     rayfT = jnp.concatenate(rows, axis=0)            # [16, 2RB]
-    rayf = rayfT.T.astype(tri_dtype)                 # [2RB, 16]
-
-    n = lists_ref[0, s, 0]
-
-    def body(j, occ_col):
-        c = lists_ref[0, s, j + 1]
-        E = jnp.dot(rayf, trimat_ref[c],
-                    preferred_element_type=jnp.float32)    # [2RB, 5L]
-        hit = decode_hits(E, L, tmin=tmin)
-        return jnp.maximum(
-            occ_col, jnp.max(hit.astype(jnp.float32), axis=-1,
-                             keepdims=True))
-
-    occ_col = jax.lax.fori_loop(
-        0, n, body, jnp.zeros((2 * RB, 1), jnp.float32))
-    vis = 1.0 - occ_col.T                            # [1, 2RB]
-    return vis[:, :RB], vis[:, RB:]
+    return rayfT.T.astype(tri_dtype)                 # [2RB, 16]
 
 
-def _shade_fwd_kernel(samp_ref, gb_ref, lists_ref, trimat_ref, out_ref,
-                      vis_ref, *, BSDF, n2, L, tri_dtype, tmin):
+def _shade_fwd_kernel(lists_hbm, samp_ref, gb_ref, trimat_hbm, out_ref,
+                      vis_ref, tri_vmem, lst, sems, lsem, *, BSDF, n2, L,
+                      tri_dtype, tmin):
+    """Leaf matrices stream HBM->VMEM with double-buffered DMA (the v4
+    tracer pattern) — no VMEM scene-size ceiling.  Visit lists also live in
+    HBM and each (block, stratum) row is DMA'd into SMEM scratch.  vis_ref
+    holds the whole [n2, 2RB] slab for this block (Mosaic requires the
+    sublane block dim to be 8k or the full array dim); the stratum row is
+    written with a one-hot select, not dynamic indexing."""
+    i = pl.program_id(0)
     s = pl.program_id(1)
     RB = gb_ref.shape[-1]
+
+    ldma = pltpu.make_async_copy(lists_hbm.at[i, s], lst, lsem)
+    ldma.start()
 
     @pl.when(s == 0)
     def _():
         out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        vis_ref[:] = jnp.ones(vis_ref.shape, vis_ref.dtype)
 
     samp16 = samp_ref[0]
     gb = _gb_rows(gb_ref)
-    vis_l, vis_b = _trace_stratum(samp16, gb, lists_ref, s, trimat_ref, L,
-                                  tri_dtype, tmin)
-    vis_ref[:] = jnp.concatenate([vis_l, vis_b], axis=-1)
+    rayf = _ray_features_rows(samp16, gb, tri_dtype)
+
+    ldma.wait()
+    W2 = lst.shape[1]
+    n = lst[0, 0]
+
+    def leaf(j):
+        k = 1 + j
+        return lst[jax.lax.div(k, W2), jax.lax.rem(k, W2)]
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(
+            trimat_hbm.at[leaf(j)], tri_vmem.at[slot], sems.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        dma(0, 0).start()
+
+        def body(j, occ_col):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n)
+            def _():
+                dma(1 - slot, j + 1).start()
+
+            dma(slot, j).wait()
+            E = jnp.dot(rayf, tri_vmem[slot],
+                        preferred_element_type=jnp.float32)   # [2RB, 5L]
+            hit = decode_hits(E, L, tmin=tmin)
+            return jnp.maximum(
+                occ_col, jnp.max(hit.astype(jnp.float32), axis=-1,
+                                 keepdims=True))
+
+        occ_col = jax.lax.fori_loop(
+            0, n, body, jnp.zeros((2 * RB, 1), jnp.float32))
+        vrow = jnp.broadcast_to(1.0 - occ_col.T, (n2, 2 * RB))
+        srow = jax.lax.broadcasted_iota(jnp.int32, (n2, 2 * RB), 0)
+        vis_ref[:] = jnp.where(srow == s, vrow, vis_ref[:])
+
+    srow1 = jax.lax.broadcasted_iota(jnp.int32, (n2, 2 * RB), 0)
+    visw = jnp.sum(jnp.where(srow1 == s, vis_ref[:], 0.0), axis=0,
+                   keepdims=True)                     # this stratum's row
+    vis_l, vis_b = visw[:, :RB], visw[:, RB:]
 
     ones = jnp.ones_like(vis_l)
     d_v, s_v = _shade_stratum(samp16, gb, vis_l, vis_b, BSDF, 1.0 / n2)
@@ -620,7 +656,9 @@ def _shade_bwd_kernel(samp_ref, gb_ref, visw_ref, g_ref, dgb_ref, drad_ref,
 
     samp16 = samp_ref[0]
     gb = _gb_rows(gb_ref)
-    visw = visw_ref[:]                        # [1, 2RB]
+    srow = jax.lax.broadcasted_iota(jnp.int32, visw_ref.shape, 0)
+    visw = jnp.sum(jnp.where(srow == s, visw_ref[:], 0.0), axis=0,
+                   keepdims=True)             # this stratum's row [1, 2RB]
     vis_l, vis_b = visw[:, :RB], visw[:, RB:]
     g = g_ref[:]
     g_d = (g[0:1], g[1:2], g[2:3])
@@ -675,7 +713,8 @@ def _light_scatter_kernel(drad_ref, dbase_ref, *, Hl, Wl):
         ohy = _onehot_sub(y, Hl).astype(jnp.bfloat16)          # [Hl, RB]
         # gxT [RB, 3Wl] built directly in ray-major layout
         xcol = x.reshape(RB, 1)
-        lane = jax.lax.broadcasted_iota(jnp.float32, (RB, 3 * Wl), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RB, 3 * Wl),
+                                        1).astype(jnp.float32)
         lane_mod = lane - Wl * jnp.floor(lane / Wl)
         ohx = (lane_mod == xcol).astype(jnp.float32)
         gcol = jnp.concatenate(
@@ -689,7 +728,8 @@ def _light_scatter_kernel(drad_ref, dbase_ref, *, Hl, Wl):
     dbase_ref[:] = dbase_ref[:] + acc
 
 
-@functools.partial(jax.jit, static_argnames=('ray_block', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('Hl', 'Wl', 'ray_block',
+                                             'interpret'))
 def light_scatter(drad, Hl, Wl, ray_block=1024, interpret=False):
     """drad [n2, 8, P] (rows: d_lrad 3, d_brad 3, tex_l, tex_b) ->
     d_base [Hl, Wl, 3]."""
@@ -765,8 +805,11 @@ def _build_lists(samp, ro_m, mask, bvh, ray_block, tmin, interpret):
     merged = jnp.concatenate(
         [counts.transpose(1, 0)[:, :, None],
          lists.transpose(1, 0, 2)], axis=-1)         # [NB, n2, 1 + C]
-    Cl = ((1 + C + 127) // 128) * 128
-    return _pad_to(merged.astype(jnp.int32), Cl, axis=2)
+    # lay each (block, stratum) list out as an [8, Cl/8] int32 tile for the
+    # SMEM DMA in the trace kernel (pallas_tracer.py alignment rules)
+    Cl = ((1 + C + 1023) // 1024) * 1024
+    merged = _pad_to(merged.astype(jnp.int32), Cl, axis=2)
+    return merged.reshape(NB, n2, 8, Cl // 8)
 
 
 def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
@@ -779,6 +822,15 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
 
     B, H, W = mask.shape
     P = B * H * W
+    # mask/ro enter only the (deliberately gradient-free) shadow-ray setup:
+    # the reference ignores the shadow boundary term and d(ray origin)
+    # entirely (kernel.cu:96-99), so they must be stop_gradient here or the
+    # custom_vjp would be differentiated w.r.t. closed-over values.
+    mask = jax.lax.stop_gradient(mask)
+    ro = jax.lax.stop_gradient(ro)
+    # the BVH is rebuilt from the optimized vertices every step; visibility
+    # is binary with a deliberately-zero gradient (kernel.cu:96-99)
+    bvh = jax.tree_util.tree_map(jax.lax.stop_gradient, bvh)
     m_flat = mask.reshape(P) > 0
     n2 = n_samples_x * n_samples_x
 
@@ -818,86 +870,107 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
     rows_sg, cols_sg, pdf_sg = sg(rows), sg(cols), sg(light_pdf_tex)
     Hl, Wl = cols.shape
     L = bvh.leaf_size
-    C = bvh.n_leaves
-    n_out_rows = 16
+    ro_p = _pad_to(ro_f, ray_block, axis=0)          # [Pp, 3]
+    m_row = m_p[None].astype(jnp.float32)            # [1, Pp]
 
-    def pack_gb(pos_, nrm_, view_, kd_, ks_):
+    # All traced arrays the kernels consume are EXPLICIT custom_vjp
+    # parameters (zero cotangents in bwd).  Closing over them instead leaks
+    # tracers when env_shade is jitted and differentiated from an outer
+    # trace ("No constant handler for DynamicJaxprTracer" at lowering).
+    def pack_gb(pos_, nrm_, view_, kd_, ks_, ro_pk, m_rowk):
+        def padT(x):
+            return _pad_to(x.T, ray_block, axis=1)
         g = jnp.concatenate(
-            [ro_f.T, pos_.T, nrm_.T, view_.T, kd_.T, ks_.T,
-             m_flat[None].astype(jnp.float32),
-             jnp.zeros((5, P), jnp.float32)], axis=0)
-        return _pad_to(g, ray_block, axis=1)         # [24, Pp]
+            [ro_pk.T, padT(pos_), padT(nrm_), padT(view_), padT(kd_),
+             padT(ks_), m_rowk, jnp.zeros((5, Pp), jnp.float32)], axis=0)
+        return g                                      # [24, Pp]
 
     @jax.custom_vjp
-    def f(base, pos_, nrm_, view_, kd_, ks_):
-        out, _, _, _ = _fwd_impl(base, pos_, nrm_, view_, kd_, ks_)
+    def f(base, pos_, nrm_, view_, kd_, ks_,
+          u8k, gb8k, ro_pk, m_rowk, rows_k, cols_k, pdf_k, bvh_k, ss):
+        out, _, _, _ = _fwd_impl(base, pos_, nrm_, view_, kd_, ks_, u8k,
+                                 gb8k, ro_pk, m_rowk, rows_k, cols_k,
+                                 pdf_k, bvh_k, ss)
         return out
 
-    def _fwd_impl(base, pos_, nrm_, view_, kd_, ks_):
+    def _fwd_impl(base, pos_, nrm_, view_, kd_, ks_, u8k, gb8k, ro_pk,
+                  m_rowk, rows_k, cols_k, pdf_k, bvh_k, ss):
         # Stage A's in-kernel radiance fetch provides the forward values;
         # the gradient into `base` is produced by the stage-D scatter in
         # bwd() from the stored texel indices — the exact adjoint of the
         # nearest-texel fetch (kernel.cu:195-211 semantics).
-        samp = sample_all(u8, gb8, rows_sg, cols_sg, pdf_sg, sg(base),
+        samp = sample_all(u8k, gb8k, rows_k, cols_k, pdf_k, sg(base),
                           n_samples_x, ray_block=ray_block,
                           interpret=interpret)
-        ro_m = jnp.where(m_p[:, None], _pad_to(ro_f, ray_block, axis=0),
-                         BIG)
-        lists = _build_lists(jax.lax.stop_gradient(samp), ro_m, m_p, bvh,
+        m_b = m_rowk.reshape(-1) > 0.0
+        ro_m = jnp.where(m_b[:, None], ro_pk, BIG)
+        lists = _build_lists(jax.lax.stop_gradient(samp), ro_m, m_b, bvh_k,
                              ray_block, tmin, interpret)
-        Cl = lists.shape[-1]
+        Cl8 = lists.shape[-1]                        # = Cl // 8
 
-        gbC = pack_gb(pos_, nrm_, view_, kd_, ks_)
+        gbC = pack_gb(pos_, nrm_, view_, kd_, ks_, ro_pk, m_rowk)
         out, visw = pl.pallas_call(
             functools.partial(_shade_fwd_kernel, BSDF=BSDF, n2=n2, L=L,
-                              tri_dtype=bvh.tri_mat.dtype, tmin=tmin),
+                              tri_dtype=bvh_k.tri_mat.dtype, tmin=tmin),
             grid=(NB, n2),
             in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # visit lists in HBM
                 pl.BlockSpec((1, 16, ray_block), lambda i, s: (s, 0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((24, ray_block), lambda i, s: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n2, Cl), lambda i, s: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((C, K_FEATS, N_FIELDS * L),
-                             lambda i, s: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),   # leaf mats stay in HBM
             ],
             out_specs=(
                 pl.BlockSpec((16, ray_block), lambda i, s: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2 * ray_block), lambda i, s: (s, i),
+                pl.BlockSpec((n2, 2 * ray_block), lambda i, s: (0, i),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((16, Pp), jnp.float32),
                 jax.ShapeDtypeStruct((n2, 2 * Pp), jnp.float32),
             ),
+            scratch_shapes=[
+                pltpu.VMEM((2, K_FEATS, N_FIELDS * L), bvh_k.tri_mat.dtype),
+                pltpu.SMEM((8, Cl8), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
             interpret=interpret,
-        )(jax.lax.stop_gradient(samp), jax.lax.stop_gradient(gbC), lists,
-          bvh.tri_mat)
+        )(lists, jax.lax.stop_gradient(samp), jax.lax.stop_gradient(gbC),
+          bvh_k.tri_mat)
 
-        ss = shadow_scale
-        mrow = m_p[None].astype(jnp.float32)
-        diff = (ss * out[0:3] + (1.0 - ss) * out[6:9]) * mrow
-        spec = (ss * out[3:6] + (1.0 - ss) * out[9:12]) * mrow
+        diff = (ss * out[0:3] + (1.0 - ss) * out[6:9]) * m_rowk
+        spec = (ss * out[3:6] + (1.0 - ss) * out[9:12]) * m_rowk
         res = (diff[:, :P].T.reshape(B, H, W, 3),
                spec[:, :P].T.reshape(B, H, W, 3))
         return res, samp, visw, gbC
 
-    def fwd(base, pos_, nrm_, view_, kd_, ks_):
-        out, samp, visw, gbC = _fwd_impl(base, pos_, nrm_, view_, kd_, ks_)
-        return out, (samp, visw, gbC)
+    def fwd(base, pos_, nrm_, view_, kd_, ks_,
+            u8k, gb8k, ro_pk, m_rowk, rows_k, cols_k, pdf_k, bvh_k, ss):
+        out, samp, visw, gbC = _fwd_impl(
+            base, pos_, nrm_, view_, kd_, ks_, u8k, gb8k, ro_pk, m_rowk,
+            rows_k, cols_k, pdf_k, bvh_k, ss)
+        del samp  # recomputed in bwd (replay) — not worth n2*16*P of HBM
+        return out, (jax.lax.stop_gradient(base), visw, gbC, u8k, gb8k,
+                     m_rowk, rows_k, cols_k, pdf_k, bvh_k, ss)
 
     def bwd(resid, g):
-        samp, visw, gbC = resid
+        # Replay backward (the reference re-runs its whole sampling path in
+        # the bwd launch, kernel.cu:463-542 with backward=true): stage A is
+        # recomputed bit-identically from the same uniforms; only the traced
+        # visibility bits (visw) are carried — we re-trace nothing.
+        (base_sg, visw, gbC, u8k, gb8k, m_rowk, rows_k, cols_k, pdf_k,
+         bvh_k, ss) = resid
+        samp = sample_all(u8k, gb8k, rows_k, cols_k, pdf_k, base_sg,
+                          n_samples_x, ray_block=ray_block,
+                          interpret=interpret)
         g_diff, g_spec = g
-        ss = shadow_scale
         vw = visw * ss + (1.0 - ss)                  # per-ray shadow lerp
-        mrow = m_p[None].astype(jnp.float32)
         grows = jnp.concatenate(
-            [_pad_to(g_diff.reshape(P, 3).T, ray_block, axis=1) * mrow,
-             _pad_to(g_spec.reshape(P, 3).T, ray_block, axis=1) * mrow,
+            [_pad_to(g_diff.reshape(P, 3).T, ray_block, axis=1) * m_rowk,
+             _pad_to(g_spec.reshape(P, 3).T, ray_block, axis=1) * m_rowk,
              jnp.zeros((2, Pp), jnp.float32)], axis=0)   # [8, Pp]
 
         dgb, drad = pl.pallas_call(
@@ -908,7 +981,7 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((24, ray_block), lambda i, s: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2 * ray_block), lambda i, s: (s, i),
+                pl.BlockSpec((n2, 2 * ray_block), lambda i, s: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, ray_block), lambda i, s: (0, i),
                              memory_space=pltpu.VMEM),
@@ -933,10 +1006,21 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
         def unrow(lo):
             return dgb[lo:lo + 3, :P].T.reshape(B, H, W, 3)
 
-        return (d_base, unrow(3), unrow(6), unrow(9), unrow(12), unrow(15))
+        # cotangents: 6 real + zeros for (u8, gb8, ro_p, m_row, rows, cols,
+        # pdf, bvh, ss) — visibility/sampling gradients are deliberately
+        # zero (kernel.cu:96-99)
+        return (d_base, unrow(3), unrow(6), unrow(9), unrow(12), unrow(15),
+                jnp.zeros_like(u8k), jnp.zeros_like(gb8k),
+                jnp.zeros((Pp, 3), jnp.float32), jnp.zeros_like(m_rowk),
+                jnp.zeros_like(rows_k), jnp.zeros_like(cols_k),
+                jnp.zeros_like(pdf_k),
+                jax.tree_util.tree_map(jnp.zeros_like, bvh_k),
+                jnp.zeros_like(ss))
 
     f.defvjp(fwd, bwd)
-    return f(light_base, pos, nrm, view, kd, ks)
+    return f(light_base, pos, nrm, view, kd, ks, u8, gb8, ro_p, m_row,
+             rows_sg, cols_sg, pdf_sg, bvh,
+             jnp.asarray(shadow_scale, jnp.float32))
 
 
 def env_shade_fused_jnp(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd,

@@ -226,10 +226,10 @@ def trace_rayf(rayf, bvh: LeafBVH, tmin=0.0, tmax=1e16, ray_block=1024,
         grid=(NB,),
         out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # lists stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # lists stay in HBM
             pl.BlockSpec((ray_block, K_FEATS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # trimat stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # trimat stays in HBM
         ],
         out_specs=pl.BlockSpec((ray_block, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -24,8 +24,12 @@ y-flipped projection, /root/reference/render/util.py:185-190):
 - rast output [N, H, W, 4] = (u, v, z/w, float(tri_id + 1)); empty pixels 0.
 - u weights vertex 0, v vertex 1, 1-u-v vertex 2 (nvdiffrast convention).
 
-Limitation (v1): triangles with any vertex at w <= W_EPS (behind/at the
-camera plane) are discarded instead of clipped.
+Near-plane handling is clipless: the homogeneous coverage test is exact for
+triangles crossing w = 0 (see _tri_setup), and z/w in [-1, 1] performs the
+near/far clip — no sub-triangle emission needed (the capability of
+nvdiffrast's clipping consumed at reference render/render.py:308-311).
+Caveat: the antialias op's edge projection assumes w > 0 endpoints, so
+silhouette gradients on edges crossing the camera plane are approximate.
 """
 
 import functools
@@ -66,7 +70,15 @@ def _tri_setup(v_clip, tri):
     # adjugate scaling (e~ = det * e) that becomes (A^T z . p) / det.
     az = jnp.einsum('tij,ti->tj', A, z) / det_safe[:, None]  # z_ndc = az . p
     asum = jnp.sum(A, axis=1)              # sum_i e~_i   = asum . p
-    valid = (jnp.min(w, axis=1) > W_EPS) & (jnp.abs(det) > 1e-12)
+    # Clipless near-plane handling (Olano-Greer 2D homogeneous
+    # rasterization): for pixel p, object barycentrics are b = (t/det) e~
+    # with hit depth W = t = sum_i b_i w_i; choosing b = sign(det) e~ gives
+    # t = |det| > 0 identically, so "all e~_i * sign(det) > 0" is the exact
+    # coverage test for the W > 0 part of ANY triangle — including ones
+    # crossing w = 0 — and the z/w in [-1, 1] cull performs the near/far
+    # clip.  No w > eps gate needed (the nvdiffrast clipping capability,
+    # reference render/render.py:308-311, without emitting sub-triangles).
+    valid = jnp.abs(det) > 1e-12
     # degenerate padded triangles (all indices equal) have det == 0 -> invalid
     return A, az, asum, det, valid
 
@@ -128,8 +140,13 @@ def _resolve_single(v_clip, tri, H, W, prev_z, prev_id):
             # near/far clip: z/w outside [-1, 1] is outside the view volume
             # (also rejects numerically-degenerate edge-on sliver fragments)
             inside &= (z >= -1.0) & (z <= 1.0)
-            # depth-peel: only accept strictly-behind-previous-layer fragments
+            # depth-peel: only accept strictly-behind-previous-layer
+            # fragments, and never the previous layer's own triangle (its
+            # resolve-z and recompute-z differ by ulps, so the z test alone
+            # can re-select it)
             inside &= z > pz[:, None] + 1e-7
+            ids = base + jnp.arange(TRI_CHUNK, dtype=jnp.int32) + 1
+            inside &= ids[None, :] != pid[:, None]
             z = jnp.where(inside, z, big)
             k = jnp.argmin(z, axis=1)
             zk = jnp.take_along_axis(z, k[:, None], axis=1)[:, 0]
@@ -209,8 +226,13 @@ def _recompute_bary(v_clip, tri, tid, H, W):
     return rast, jnp.where(mask, db, 0.0)
 
 
+def _default_backend():
+    return 'pallas' if jax.default_backend() not in ('cpu',) else 'jnp'
+
+
 def rasterize(v_clip, tri, resolution,
-              prev_rast: Optional[jnp.ndarray] = None
+              prev_rast: Optional[jnp.ndarray] = None,
+              backend: Optional[str] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rasterize a batch.
 
@@ -232,10 +254,16 @@ def rasterize(v_clip, tri, resolution,
 
     v_ng = jax.lax.stop_gradient(v_clip)
 
-    def one(vc, pz, pid):
-        return _resolve_single(vc, tri, H, W, pz, pid)
+    eff = backend or _default_backend()
+    if eff.startswith('pallas'):
+        from .pallas_raster import resolve_batch
+        z, tid = resolve_batch(v_ng, tri, H, W, prev_z, prev_id,
+                               interpret=(eff == 'pallas-interpret'))
+    else:
+        def one(vc, pz, pid):
+            return _resolve_single(vc, tri, H, W, pz, pid)
 
-    z, tid = jax.vmap(one)(v_ng, prev_z, prev_id)
+        z, tid = jax.vmap(one)(v_ng, prev_z, prev_id)
 
     def recompute(vc, t):
         return _recompute_bary(vc, tri, t, H, W)

@@ -50,6 +50,21 @@ def test_marching_tets_sphere_watertight():
     assert frac_outward > 0.99 or frac_outward < 0.01  # consistent winding
 
 
+def test_marching_tets_overflow_signal():
+    """Truncation past max_tris must raise the overflow flag, and
+    DMTetGeometry.tri_count must report the true (untruncated) count."""
+    v, sdf, idx, eu, em = sphere_case()
+    *_, mask, overflow = dmtet_mod.marching_tets(v, sdf, idx, eu, em, 8)
+    assert bool(overflow)
+    assert int(mask.sum()) == 8  # every slot used
+
+    geo = dmtet_mod.DMTetGeometry(
+        12, 2.0, {'dmtet_grid': 12, 'mesh_scale': 2.0})
+    geo.max_tris = 8
+    n, cap = geo.tri_count({'sdf': sdf, 'deform': jnp.zeros_like(v)})
+    assert cap == 8 and n > 8
+
+
 def test_marching_tets_gradients():
     v, sdf, idx, eu, em = sphere_case(res=8)
     max_tris = 2048

@@ -233,3 +233,53 @@ def test_fused_grads_match_twin():
     for n, a, b in zip(names, g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=n)
+
+
+def test_fused_grads_through_shared_upstream():
+    """In the train step, ro = pos + n*eps shares upstream params with pos —
+    the custom_vjp must not be differentiated w.r.t. closed-over values
+    (regression: CustomVJPException on TPU bench)."""
+    from nvdiffrecmc_tpu.ops.pallas_shade import env_shade_fused
+    (mask, ro, pos, nrm, view, kd, ks), bvh = _scene(P_side=8)
+    base, pdf, rows, cols = _light_setup()
+
+    from nvdiffrecmc_tpu.ops import bvh as bvh_mod
+    v0 = jnp.asarray(np.array([[-1.0, 0.5, -1.0], [0.0, 0.5, -1.0],
+                               [-1.0, 0.5, 0.0]], np.float32))
+    t0 = jnp.asarray(np.array([[0, 1, 2]], np.int32))
+
+    def loss(pos0, verts):
+        p = pos0 * 1.0
+        r = p + nrm * 1e-3
+        bv = bvh_mod.build(verts, t0, leaf_size=16)  # bvh from diff'd verts
+        d, s = env_shade_fused(mask, r, p, nrm, view, kd, ks, base, pdf,
+                               rows, cols, bv, None, 3, 1.0, BSDF=0,
+                               n_samples_x=2, ray_block=64, interpret=True)
+        return jnp.sum(d) + jnp.sum(s)
+
+    g, gv = jax.grad(loss, argnums=(0, 1))(pos, v0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_array_equal(np.asarray(gv), 0.0)
+
+
+def test_fused_grads_under_outer_jit():
+    """grad(jit-traced loss) — the bench/train pattern.  Regression for
+    leaked closure tracers ("No constant handler for DynamicJaxprTracer")."""
+    from nvdiffrecmc_tpu.ops.pallas_shade import env_shade_fused
+    (mask, ro, pos, nrm, view, kd, ks), bvh = _scene(P_side=8)
+    base, pdf, rows, cols = _light_setup()
+
+    @jax.jit
+    def gradfn(pos0, base0):
+        def loss(p, b):
+            r = p + nrm * 1e-3
+            d, s = env_shade_fused(mask, r, p, nrm, view, kd, ks, b, pdf,
+                                   rows, cols, bvh, None, 3, 0.5, BSDF=0,
+                                   n_samples_x=2, ray_block=64,
+                                   interpret=True)
+            return jnp.sum(d) + jnp.sum(s)
+        return jax.grad(loss, argnums=(0, 1))(pos0, base0)
+
+    g_pos, g_base = gradfn(pos, base)
+    assert np.all(np.isfinite(np.asarray(g_pos)))
+    assert np.all(np.isfinite(np.asarray(g_base)))

@@ -148,3 +148,87 @@ def test_perspective_depth_is_z_over_w():
     zs = np.asarray(rast[0, ..., 2])[tid > 0]
     assert tid.max() > 0
     np.testing.assert_allclose(zs, zw, atol=1e-4)
+
+
+def _random_mesh(n_tri=300, seed=5):
+    """Random small triangles in front of a perspective camera."""
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(-1.2, 1.2, (n_tri, 1, 3)).astype(np.float32)
+    centers[..., 2] -= 3.0
+    offs = rng.uniform(-0.25, 0.25, (n_tri, 3, 3)).astype(np.float32)
+    pts = (centers + offs).reshape(-1, 3)
+    v4 = np.concatenate([pts, np.ones((pts.shape[0], 1), np.float32)], -1)
+    proj = np.asarray(perspective(0.9, 1.0, 0.1, 100.0))
+    vc = jnp.asarray(v4 @ proj.T)[None]
+    t = jnp.arange(n_tri * 3, dtype=jnp.int32).reshape(n_tri, 3)
+    return vc, t
+
+
+def test_pallas_resolve_matches_jnp():
+    """Binned Pallas resolve (interpret mode) vs the jnp scan resolve,
+    including a depth-peeled second layer, on a random triangle soup."""
+    vc, t = _random_mesh()
+    res = (48, 64)  # non-tile-multiple height exercises the crop path
+    r_j, _ = ras.rasterize(vc, t, res, backend='jnp')
+    r_p, _ = ras.rasterize(vc, t, res, backend='pallas-interpret')
+    np.testing.assert_array_equal(np.asarray(r_p[..., 3]),
+                                  np.asarray(r_j[..., 3]))
+    np.testing.assert_allclose(np.asarray(r_p[..., :3]),
+                               np.asarray(r_j[..., :3]), rtol=1e-5,
+                               atol=1e-6)
+
+    r2_j, _ = ras.rasterize(vc, t, res, prev_rast=r_j, backend='jnp')
+    r2_p, _ = ras.rasterize(vc, t, res, prev_rast=r_j,
+                            backend='pallas-interpret')
+    np.testing.assert_array_equal(np.asarray(r2_p[..., 3]),
+                                  np.asarray(r2_j[..., 3]))
+
+
+def test_pallas_resolve_batch():
+    vc1, t = _random_mesh(seed=5)
+    vc2, _ = _random_mesh(seed=6)
+    vc = jnp.concatenate([vc1, vc2], 0)
+    r_j, _ = ras.rasterize(vc, t, (32, 32), backend='jnp')
+    r_p, _ = ras.rasterize(vc, t, (32, 32), backend='pallas-interpret')
+    np.testing.assert_array_equal(np.asarray(r_p[..., 3]),
+                                  np.asarray(r_j[..., 3]))
+
+
+def test_near_plane_crossing_clipless():
+    """Triangles crossing the w=0 plane (camera inside the scene) must
+    rasterize their w>0 part exactly — validated against a per-pixel
+    ray-cast oracle (the role of nvdiffrast's clipping)."""
+    H = W = 64
+    fovy, near, far = 0.9, 0.1, 100.0
+    proj = np.asarray(perspective(fovy, 1.0, near, far))
+    # ground plane quad extending from far in front to far BEHIND the eye
+    # (camera at origin looking down -z, plane at y = -0.5)
+    pts = np.array([[-5.0, -0.5, -8.0], [5.0, -0.5, -8.0],
+                    [-5.0, -0.5, 5.0], [5.0, -0.5, 5.0]], np.float32)
+    tri = np.array([[0, 1, 2], [2, 1, 3]], np.int32)
+    v4 = np.concatenate([pts, np.ones((4, 1), np.float32)], -1)
+    vc = jnp.asarray(v4 @ proj.T)[None]
+
+    for backend in ('jnp', 'pallas-interpret'):
+        rast, _ = ras.rasterize(vc, jnp.asarray(tri), (H, W),
+                                backend=backend)
+        cov = np.asarray(rast[0, ..., 3] > 0)
+
+        # oracle: ray-cast pixel centers against the plane y=-0.5, accept
+        # hits with near <= -z_hit and inside the quad footprint
+        tan_half = np.tan(fovy / 2)
+        got_err = 0
+        for r in (5, 20, 32, 40, 55, 63):
+            for c in (3, 17, 31, 44, 60):
+                sx = (2 * (c + 0.5) / W - 1) * tan_half
+                sy = (2 * (r + 0.5) / H - 1) * tan_half  # y-down NDC
+                d = np.array([sx, -sy, -1.0])  # proj flips y
+                want = False
+                if d[1] < 0:  # pointing down
+                    t = -0.5 / d[1]
+                    hit = d * t
+                    if (-8.0 <= hit[2] <= 5.0 and -5.0 <= hit[0] <= 5.0
+                            and -hit[2] >= near and -hit[2] <= far):
+                        want = True
+                got_err += int(cov[r, c] != want)
+        assert got_err == 0, (backend, got_err)

@@ -255,8 +255,9 @@ def extract_static_mesh(geometry, params, FLAGS):
 
 
 def uv_unwrap(v_pos, t_pos_idx, v_tex, t_tex_idx):
-    """xatlas unwrap when available; otherwise keep the existing (per-tet
-    atlas) parametrization — documented round-1 deviation."""
+    """UV atlas for the pass-1 -> pass-2 bake (reference train.py:108-152):
+    xatlas when importable, else the native chart-grown unwrapper
+    (nvdiffrecmc_tpu/native/uv_unwrap.cpp), else the per-tet atlas."""
     try:
         import xatlas
         vmapping, indices, uvs = xatlas.parametrize(
@@ -264,7 +265,13 @@ def uv_unwrap(v_pos, t_pos_idx, v_tex, t_tex_idx):
         return (jnp.asarray(uvs.astype(np.float32)),
                 jnp.asarray(indices.astype(np.int64).astype(np.int32)))
     except ImportError:
-        return v_tex, t_tex_idx
+        pass
+    from nvdiffrecmc_tpu import native
+    out = native.uv_unwrap(np.asarray(v_pos), np.asarray(t_pos_idx))
+    if out is not None:
+        uvs, tidx = out
+        return jnp.asarray(uvs), jnp.asarray(tidx)
+    return v_tex, t_tex_idx
 
 
 def bake_textures(geometry, params, mat_params, mat_static, FLAGS):
@@ -482,6 +489,17 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
                      np.mean(reg_loss_vec[-log_interval:]),
                      np.mean(iter_dur_vec[-log_interval:]) * 1000,
                      vecmath.time_to_text(rem)), flush=True)
+            # marching-tets truncation is a silent wrong-gradient failure
+            # (dropped triangles simply vanish) — poll the count at this
+            # host-sync point and shout (reference dmtet.py:126-137 never
+            # truncates; our static shapes can)
+            if hasattr(geometry, 'tri_count'):
+                n_tris, cap = geometry.tri_count(params['geo'])
+                if n_tris > cap:
+                    print('WARNING: marching tets OVERFLOW: %d surface '
+                          'triangles > %d slots — geometry is being '
+                          'truncated; raise dmtet max_tris' % (n_tris, cap),
+                          flush=True)
 
     return params
 
@@ -519,19 +537,35 @@ def render_eval(geometry, geo_params, mat_params, mat_static, light_base,
                 target, FLAGS, denoiser_on, n_samples=32, bsdf=None):
     """Jitted eval render (reference validate protocol: n_samples=32, no
     denoiser, train.py:260-264).  One compiled program per (geometry
-    instance, material kind, n_samples, bsdf-override)."""
+    instance, material kind, n_samples, bsdf-override).
+
+    The 32x32-stratified estimator is evaluated as the average of K
+    independent 4x4-stratified renders with distinct seeds (same total MC
+    sample count, unbiased).  One n2=1024 device program both exceeds the
+    fused pipeline's memory envelope (envshade._FUSED_MAX_N2) and runs long
+    enough to trip the TPU worker's execution watchdog (measured on the
+    axon v5e tunnel: a 21 s device program survives, a ~74 s one kills the
+    worker; an incoherent-ray n2=64 shade alone is 18.5 s); K bounded
+    programs do neither.  All composition downstream of the MC estimate
+    (alpha blend, antialias) is linear in the shade values, so averaging K
+    full renders equals rendering with the averaged estimate."""
     # id() can be recycled after GC — use a per-instance uid (geometry
     # classes assign one at construction) so a new geometry never hits a
     # stale compiled closure over a dead instance.
-    ck = (geometry.uid, mat_static['kind'], n_samples, bsdf)
+    res = tuple(target.get('resolution', FLAGS['train_res']))
+    chunk = min(n_samples, 4)
+    K = max(1, (n_samples * n_samples) // (chunk * chunk))
+    if bsdf in ('kd', 'ks', 'normal', 'tangent'):
+        K = 1  # deterministic G-buffer displays: no MC averaging needed
+    ck = (geometry.uid, mat_static['kind'], chunk, bsdf, res)
     if ck not in _EVAL_JIT_CACHE:
         F = dict(FLAGS)
-        F['n_samples'] = n_samples
-        perms = envshade.make_perms(n_samples)
-        res = tuple(FLAGS['train_res'])
+        F['n_samples'] = chunk
+        perms = envshade.make_perms(chunk)
         spp = FLAGS['spp']
 
-        def fn(geo_params, mat_params, light_base, mvp, campos, background):
+        def fn(geo_params, mat_params, light_base, mvp, campos, background,
+               rnd_seed):
             tables = light_mod.update_pdf(light_base)
             lgt = {'base': light_base, 'pdf': tables.pdf,
                    'rows': tables.rows, 'cols': tables.cols}
@@ -541,12 +575,21 @@ def render_eval(geometry, geo_params, mat_params, mat_static, light_base,
                 F, opt_mesh, mvp, campos, lgt, res, bvh, perms,
                 jax.random.PRNGKey(0), spp=spp, num_layers=FLAGS['layers'],
                 background=background, bsdf=bsdf, denoiser_sigma=None,
-                rnd_seed=0)
+                rnd_seed=rnd_seed)
 
         _EVAL_JIT_CACHE[ck] = jax.jit(fn)
-    return _EVAL_JIT_CACHE[ck](geo_params, mat_params, light_base,
-                               target['mvp'], target['campos'],
-                               target['background'])
+    fn = _EVAL_JIT_CACHE[ck]
+    args = (geo_params, mat_params, light_base, target['mvp'],
+            target['campos'], target['background'])
+    buffers = fn(*args, jnp.int32(1000))
+    if K > 1:
+        acc = {k: v for k, v in buffers.items()}
+        for k_i in range(1, K):
+            b = fn(*args, jnp.int32(1000 + k_i))
+            for name, v in b.items():
+                acc[name] = acc[name] + v
+        buffers = {name: v / K for name, v in acc.items()}
+    return buffers
 
 
 def validate_itr(target, ref_mesh, geometry, geo_params, mat_params,
@@ -603,7 +646,11 @@ def validate(geometry, geo_params, mat_params, mat_static, light_base,
         print("Running validation")
         for it in range(n):
             batch = dataset_validate.collate([dataset_validate[it]])
-            target = prepare_batch(batch, FLAGS['train_res'],
+            # Validate at dataset-native resolution (the reference's
+            # prepare_batch never rescales, train.py:260-307) so PSNR is
+            # comparable when dataset res != train_res.
+            native_res = tuple(np.asarray(batch['img']).shape[1:3])
+            target = prepare_batch(batch, native_res,
                                    FLAGS['background'], key, FLAGS)
             result_image, rd = validate_itr(
                 target, dataset_validate.getMesh(), geometry, geo_params,
