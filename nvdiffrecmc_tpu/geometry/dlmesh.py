@@ -36,8 +36,9 @@ class DLMesh:
                                 material=material)
         m = mesh_mod.auto_normals(m)
         m = mesh_mod.compute_tangents(m)
-        bvh = bvh_mod.build(m.v_pos, m.t_pos_idx,
-                            leaf_size=leaf_size) if build_bvh else None
+        bvh = bvh_mod.build(m.v_pos, m.t_pos_idx, leaf_size=leaf_size,
+                            dtype=bvh_mod.default_tri_dtype()
+                            ) if build_bvh else None
         return m, bvh
 
     def tick(self, params, material, lgt, target, loss_fn, iteration, FLAGS,

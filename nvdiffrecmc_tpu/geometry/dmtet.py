@@ -255,7 +255,9 @@ class DMTetGeometry:
         m = mesh_mod.auto_normals(m)
         m = mesh_mod.compute_tangents(m)
         bvh = bvh_mod.build(m.v_pos, m.t_pos_idx, tri_mask=tri_mask > 0,
-                            leaf_size=leaf_size) if build_bvh else None
+                            leaf_size=leaf_size,
+                            dtype=bvh_mod.default_tri_dtype()
+                            ) if build_bvh else None
         return m, bvh
 
     def tick(self, params, material, lgt, target, loss_fn, iteration, FLAGS,

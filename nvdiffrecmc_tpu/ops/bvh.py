@@ -39,6 +39,21 @@ N_FIELDS = 5     # e0, e1, e2, num, den
 SUPER = 8        # leaves per supernode
 
 
+def default_tri_dtype():
+    """Production triangle-matrix dtype: bf16 on TPU (2x MXU rate, half the
+    leaf DMA; coefficient rounding perturbs hits only in a thin band around
+    triangle edges — Monte-Carlo visibility noise, not bias), fp32 elsewhere
+    so the CPU twin stays bit-exact against brute force.  Override with
+    NVDR_TRI_DTYPE=float32|bfloat16."""
+    import os
+    ov = os.environ.get('NVDR_TRI_DTYPE')
+    if ov:
+        return {'float32': jnp.float32, 'fp32': jnp.float32,
+                'bfloat16': jnp.bfloat16, 'bf16': jnp.bfloat16}[ov]
+    import jax
+    return jnp.bfloat16 if jax.default_backend() == 'tpu' else jnp.float32
+
+
 class LeafBVH(NamedTuple):
     tri_mat: jnp.ndarray    # [C, 16, 5*L] per-leaf Plücker matrices, field-major
     aabb_lo: jnp.ndarray    # [C, 3]

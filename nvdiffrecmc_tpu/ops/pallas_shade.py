@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bvh import LeafBVH, K_FEATS, N_FIELDS, decode_hits
+from .pallas_tracer import EXIT_GROUP, counting_sort_perm
 
 TWO_PI = 2.0 * math.pi
 ONE_MINUS_EPS = 0.99999994
@@ -604,24 +605,47 @@ def _shade_fwd_kernel(lists_hbm, samp_ref, gb_ref, trimat_hbm, out_ref,
     @pl.when(n > 0)
     def _():
         dma(0, 0).start()
+        # group-of-G all-occluded early exit (see pallas_tracer._trace_kernel
+        # for the pipelining rationale; per-leaf checks measured 26% slower)
+        G = EXIT_GROUP
+        n_g = jax.lax.div(n + (G - 1), G)
 
-        def body(j, occ_col):
-            slot = jax.lax.rem(j, 2)
+        def cond(c):
+            g, done, _ = c
+            return (g < n_g) & (done == 0)
 
-            @pl.when(j + 1 < n)
-            def _():
-                dma(1 - slot, j + 1).start()
+        def gbody(c):
+            g, _, occ_col = c
 
-            dma(slot, j).wait()
-            E = jnp.dot(rayf, tri_vmem[slot],
-                        preferred_element_type=jnp.float32)   # [2RB, 5L]
-            hit = decode_hits(E, L, tmin=tmin)
-            return jnp.maximum(
-                occ_col, jnp.max(hit.astype(jnp.float32), axis=-1,
-                                 keepdims=True))
+            def ibody(i, oc):
+                j = g * G + i
+                slot = jax.lax.rem(j, 2)
 
-        occ_col = jax.lax.fori_loop(
-            0, n, body, jnp.zeros((2 * RB, 1), jnp.float32))
+                @pl.when(j + 1 < n_g * G)
+                def _():
+                    dma(1 - slot, j + 1).start()
+
+                dma(slot, j).wait()
+                E = jnp.dot(rayf, tri_vmem[slot],
+                            preferred_element_type=jnp.float32)  # [2RB, 5L]
+                hit = decode_hits(E, L, tmin=tmin)
+                return jnp.maximum(
+                    oc, jnp.max(hit.astype(jnp.float32), axis=-1,
+                                keepdims=True))
+
+            occ_col = jax.lax.fori_loop(0, G, ibody, occ_col)
+            done = (jnp.sum(occ_col) >= 2.0 * RB).astype(jnp.int32)
+            return (g + 1, done, occ_col)
+
+        g_end, done, occ_col = jax.lax.while_loop(
+            cond, gbody, (jnp.int32(0), jnp.int32(0),
+                          jnp.zeros((2 * RB, 1), jnp.float32)))
+        j_next = g_end * G
+
+        @pl.when(j_next < n_g * G)
+        def _():
+            dma(jax.lax.rem(j_next, 2), j_next).wait()
+
         vrow = jnp.broadcast_to(1.0 - occ_col.T, (n2, 2 * RB))
         srow = jax.lax.broadcasted_iota(jnp.int32, (n2, 2 * RB), 0)
         vis_ref[:] = jnp.where(srow == s, vrow, vis_ref[:])
@@ -779,7 +803,9 @@ def _pad_to(x, n, axis=0, value=0.0):
 def _build_lists(samp, ro_m, mask, bvh, ray_block, tmin, interpret):
     """Stage B: per (pixel block, stratum) leaf visit lists over the union
     of the block's light+bsdf rays (ordered [light RB | bsdf RB] to match
-    the trace kernel's rayf layout)."""
+    the trace kernel's rayf layout).  Slab masks per stratum run under a
+    lax.map (bounds the [2RB, C] broadcast working set); the list
+    compaction's top_k runs ONCE over all (stratum, block) rows."""
     from . import pallas_tracer as pt
     n2, _, Pp = samp.shape
     NB = Pp // ray_block
@@ -794,20 +820,18 @@ def _build_lists(samp, ro_m, mask, bvh, ray_block, tmin, interpret):
         # group as [NB, 2*RB]: light rays then bsdf rays of the same block
         d = d.reshape(2, NB, ray_block, 3).transpose(1, 0, 2, 3)
         o = o.reshape(2, NB, ray_block, 3).transpose(1, 0, 2, 3)
-        from .bvh import ray_features
-        rayf = ray_features(o.reshape(-1, 3), d.reshape(-1, 3))
-        m = pt.visit_masks(rayf, bvh.aabb_lo, bvh.aabb_hi, 2 * ray_block,
-                           tmin, 1e16, interpret=interpret)
-        counts, lists = pt._mask_to_lists(m)         # [NB], [NB, C]
-        return counts, lists
-
-    counts, lists = jax.lax.map(one, samp)           # [n2, NB], [n2, NB, C]
+        return pt.visit_masks_od(o.reshape(-1, 3), d.reshape(-1, 3),
+                                 bvh.aabb_lo, bvh.aabb_hi, 2 * ray_block,
+                                 tmin, 1e16)
+    m = jax.lax.map(one, samp)                       # [n2, NB, C]
+    counts, lists = pt._mask_to_lists(m.reshape(n2 * NB, C))
     merged = jnp.concatenate(
-        [counts.transpose(1, 0)[:, :, None],
-         lists.transpose(1, 0, 2)], axis=-1)         # [NB, n2, 1 + C]
+        [counts.reshape(n2, NB).transpose(1, 0)[:, :, None],
+         lists.reshape(n2, NB, C).transpose(1, 0, 2)], axis=-1)
+    # [NB, n2, 1 + C]
     # lay each (block, stratum) list out as an [8, Cl/8] int32 tile for the
     # SMEM DMA in the trace kernel (pallas_tracer.py alignment rules)
-    Cl = ((1 + C + 1023) // 1024) * 1024
+    Cl = ((1 + C + EXIT_GROUP + 1023) // 1024) * 1024
     merged = _pad_to(merged.astype(jnp.int32), Cl, axis=2)
     return merged.reshape(NB, n2, 8, Cl // 8)
 
@@ -840,10 +864,33 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
     pos, nrm, view, kd, ks = map(flat, (gb_pos, gb_normal, gb_view_pos,
                                         gb_kd, gb_ks))
     ro_f = flat(ro)
+    sg = jax.lax.stop_gradient
+
+    # --- pixel coherence sort ------------------------------------------
+    # Stage C culls per ray *block*: a block's leaf-visit list is the UNION
+    # over its 2RB rays, so blocks of direction-incoherent rays degenerate
+    # to visiting ~every leaf (measured 18.5 s/fwd at 512^2 on a random
+    # G-buffer vs 0.4 s coherent — and the slow programs trip the TPU
+    # worker's ~20 s watchdog).  Sampled directions cluster around the
+    # shading normal (cosine/GGX lobes), so a stable counting-sort of
+    # PIXELS by quantized normal (octant x dominant axis = 24 bins; masked
+    # pixels last, where their empty lists make whole blocks no-ops)
+    # restores block coherence for any G-buffer.  The permutation is exact,
+    # not approximate: uniforms travel with their pixel, every per-pixel
+    # quantity is gathered by `perm` on the way in and by `dest` on the way
+    # out, and no kernel reduces across pixels.
+    n_sg = sg(nrm)
+    okey = ((n_sg[:, 0] > 0) * 4 + (n_sg[:, 1] > 0) * 2
+            + (n_sg[:, 2] > 0)).astype(jnp.int32)
+    akey = jnp.argmax(jnp.abs(n_sg), axis=-1).astype(jnp.int32)
+    skey = jnp.where(m_flat, okey * 3 + akey, 24)
+    perm, dest = counting_sort_perm(skey, 25)
+    pos, nrm, view, kd, ks, ro_f = (x[perm] for x in
+                                    (pos, nrm, view, kd, ks, ro_f))
+    m_flat = m_flat[perm]
 
     # lobe-selection quantities (stop-grad, kernel.cu:495-502)
-    sg = jax.lax.stop_gradient
-    wo = sg(gb_view_pos - gb_pos).reshape(P, 3)
+    wo = sg(view - pos)
     wo = wo / jnp.maximum(jnp.linalg.norm(wo, axis=-1, keepdims=True), 1e-20)
     ks_sg = sg(ks)
     kd_sg = sg(kd)
@@ -858,6 +905,7 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
 
     u8 = make_uniforms(jax.random.PRNGKey(rnd_seed), n2, P, n_samples_x,
                        perms)
+    u8 = u8[:, :, perm]      # uniforms travel with their pixel (exactness)
     # pad the pixel axis to the block size
     Pp = P + ((-P) % ray_block)
     u8 = _pad_to(u8, ray_block, axis=2)
@@ -1004,7 +1052,8 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
                   if not interpret else light_scatter_jnp(drad, Hl, Wl))
 
         def unrow(lo):
-            return dgb[lo:lo + 3, :P].T.reshape(B, H, W, 3)
+            # cotangent of a [P, 3] primal arg (sorted pixel order)
+            return dgb[lo:lo + 3, :P].T
 
         # cotangents: 6 real + zeros for (u8, gb8, ro_p, m_row, rows, cols,
         # pdf, bvh, ss) — visibility/sampling gradients are deliberately
@@ -1018,9 +1067,16 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
                 jnp.zeros_like(ss))
 
     f.defvjp(fwd, bwd)
-    return f(light_base, pos, nrm, view, kd, ks, u8, gb8, ro_p, m_row,
-             rows_sg, cols_sg, pdf_sg, bvh,
-             jnp.asarray(shadow_scale, jnp.float32))
+    d_s, s_s = f(light_base, pos, nrm, view, kd, ks, u8, gb8, ro_p, m_row,
+                 rows_sg, cols_sg, pdf_sg, bvh,
+                 jnp.asarray(shadow_scale, jnp.float32))
+
+    def unsort(x):
+        # inverse of the coherence sort (x is in sorted pixel order); the
+        # gather's adjoint routes cotangents back through `perm`
+        return x.reshape(P, 3)[dest].reshape(B, H, W, 3)
+
+    return unsort(d_s), unsort(s_s)
 
 
 def env_shade_fused_jnp(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd,

@@ -104,6 +104,11 @@ def any_hit_counted(ro, rd, bvh: LeafBVH, tmin=1e-4, tmax=1e16,
     """Like any_hit but also returns the number of (ray, leaf) candidate
     pairs dropped past the k_pairs cap (0 == exact result)."""
     R = ro.shape[0]
+    # ray_chunk is an upper bound on wavefront width, not a launch quantum:
+    # small launches (tests, tiny renders) must not pay a 65536-wide slab
+    # test + pair compaction (measured: a 4096-ray trace padded to 65536
+    # costs ~16x, turning a 16^2 CPU train step into seconds)
+    ray_chunk = min(ray_chunk, max(512, -(-R // 512) * 512))
     pad = (-R) % ray_chunk
     if pad:
         ro = jnp.concatenate([ro, jnp.full((pad, 3), BIG, ro.dtype)])

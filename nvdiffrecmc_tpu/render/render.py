@@ -104,10 +104,11 @@ def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
                 n_samples_x=FLAGS['n_samples'])
 
         if denoiser_sigma is not None and FLAGS.get('denoiser_demodulate', True):
-            diffuse_accum = denoiser_ops.bilateral_denoiser(
-                diffuse_accum, gb_normal_shaded, gb_depth, denoiser_sigma)
-            specular_accum = denoiser_ops.bilateral_denoiser(
-                specular_accum, gb_normal_shaded, gb_depth, denoiser_sigma)
+            # one fused launch for both buffers (they share guide planes)
+            from ..ops.pallas_denoise import bilateral_denoiser_pair
+            diffuse_accum, specular_accum = bilateral_denoiser_pair(
+                diffuse_accum, specular_accum, gb_normal_shaded, gb_depth,
+                denoiser_sigma)
 
         if bsdf in ('white', 'diffuse'):
             shaded_col = diffuse_accum * kd_shade

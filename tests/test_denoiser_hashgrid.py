@@ -97,3 +97,72 @@ def test_mlp_texture_range_and_grads():
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g.table).sum()) > 0
     assert all(float(jnp.abs(w).sum()) > 0 for w in g.weights)
+
+
+# ---------------------------------------------------------------------------
+# Fused pair kernel (pallas_denoise) vs the single-buffer reference
+# ---------------------------------------------------------------------------
+
+def test_pair_denoiser_matches_single_cpu():
+    from nvdiffrecmc_tpu.ops import pallas_denoise as pd
+    col, nrm, zdz = make_buffers()
+    col2, _, _ = make_buffers(seed=3)
+    a, b = pd.bilateral_denoiser_pair(col, col2, nrm, zdz, jnp.float32(1.2))
+    ra = denoiser.bilateral_denoiser(col, nrm, zdz, jnp.float32(1.2))
+    rb = denoiser.bilateral_denoiser(col2, nrm, zdz, jnp.float32(1.2))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ra), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(rb), atol=1e-5)
+
+
+def test_pair_kernel_interpret_matches_twin():
+    from nvdiffrecmc_tpu.ops import pallas_denoise as pd
+    h = w = 64
+    col, nrm, zdz = make_buffers(h, w)
+    col2, _, _ = make_buffers(h, w, seed=5)
+    col6 = jnp.concatenate([col, col2], -1)
+    for sigma in (0.6, 2.0):
+        got = pd._denoise_call(col6, nrm, zdz, jnp.float32(sigma),
+                               interpret=True)
+        a, wsum = denoiser._taps(col, nrm, zdz, jnp.float32(sigma), False)
+        b, _ = denoiser._taps(col2, nrm, zdz, jnp.float32(sigma), False)
+        ref = jnp.concatenate([a, b, wsum], -1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pair_kernel_interpret_grad_matches_twin():
+    from nvdiffrecmc_tpu.ops import pallas_denoise as pd
+    h = w = 64
+    col, nrm, zdz = make_buffers(h, w)
+    g, _, _ = make_buffers(h, w, seed=9)
+    g6 = jnp.concatenate([g, g * 0.5], -1)
+    got = pd._denoise_call(g6, nrm, zdz, jnp.float32(1.0), grad_mode=True,
+                           interpret=True)[..., 0:6]
+    ra, _ = denoiser._taps(g, nrm, zdz, jnp.float32(1.0), grad_mode=True,
+                           out_grad=g)
+    rb, _ = denoiser._taps(g, nrm, zdz, jnp.float32(1.0), grad_mode=True,
+                           out_grad=g * 0.5)
+    ref = jnp.concatenate([ra, rb], -1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pair_vjp_matches_per_buffer_vjp():
+    from nvdiffrecmc_tpu.ops import pallas_denoise as pd
+    col, nrm, zdz = make_buffers()
+    col2, _, _ = make_buffers(seed=3)
+
+    def loss_pair(a, b):
+        da, db = pd.bilateral_denoiser_pair(a, b, nrm, zdz, jnp.float32(0.8))
+        return jnp.sum(da ** 2) + jnp.sum(db ** 2)
+
+    def loss_single(a, b):
+        da = denoiser.bilateral_denoiser(a, nrm, zdz, jnp.float32(0.8))
+        db = denoiser.bilateral_denoiser(b, nrm, zdz, jnp.float32(0.8))
+        return jnp.sum(da ** 2) + jnp.sum(db ** 2)
+
+    ga = jax.grad(loss_pair, argnums=(0, 1))(col, col2)
+    gb = jax.grad(loss_single, argnums=(0, 1))(col, col2)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)

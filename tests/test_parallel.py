@@ -28,7 +28,13 @@ def _setup():
         RES, N_SAMPLES, batch=BATCH, sub=1, light_res=16)
     FLAGS = dict(train_mod.parse_flags([]))
     FLAGS.update(dict(n_samples=N_SAMPLES, train_res=[RES, RES], iter=10,
-                      batch=BATCH, layers=1, spp=1))
+                      batch=BATCH, layers=1, spp=1,
+                      # tiny trainable textures: at the default 1024^2 the
+                      # per-step mip-pyramid rebuild + texture regularizers
+                      # cost ~2 s/step on a 1-core CPU host regardless of
+                      # image size, and 8 staggered device threads then blow
+                      # the collective rendezvous budget
+                      texture_res=[32, 32]))
     geometry = DLMesh(m, FLAGS)
     mat_params, mat_static = train_mod.initial_guess_material(
         geometry, False, FLAGS)
@@ -54,7 +60,7 @@ def _setup():
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         upd, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, upd), opt_state, loss
+        return optax.apply_updates(params, upd), opt_state, loss, grads
 
     rng = np.random.RandomState(0)
     target = {
@@ -78,7 +84,7 @@ def sharded_and_single():
         p_sh = replicate(mesh, params)
         o_sh = replicate(mesh, opt_state)
         t_sh = shard_batch(mesh, target)
-        new_p, _, loss_sh = jax.jit(step)(p_sh, o_sh, t_sh, key)
+        new_p, _, loss_sh, g_sh = jax.jit(step)(p_sh, o_sh, t_sh, key)
         loss_sh = float(loss_sh)
 
     # same step, single device
@@ -86,12 +92,12 @@ def sharded_and_single():
     p1 = jax.device_put(params, dev)
     o1 = jax.device_put(opt_state, dev)
     t1 = jax.device_put(target, dev)
-    new_p1, _, loss_1 = jax.jit(step)(p1, o1, t1, key)
-    return new_p, loss_sh, new_p1, float(loss_1)
+    new_p1, _, loss_1, g_1 = jax.jit(step)(p1, o1, t1, key)
+    return new_p, loss_sh, g_sh, new_p1, float(loss_1), g_1
 
 
 def test_sharded_step_finite(sharded_and_single):
-    new_p, loss_sh, _, _ = sharded_and_single
+    new_p, loss_sh, *_ = sharded_and_single
     assert np.isfinite(loss_sh), loss_sh
     for leaf in jax.tree.leaves(new_p):
         assert np.all(np.isfinite(np.asarray(leaf)))
@@ -104,11 +110,18 @@ def test_params_stay_replicated(sharded_and_single):
 
 
 def test_sharded_matches_single_device(sharded_and_single):
-    new_p, loss_sh, new_p1, loss_1 = sharded_and_single
+    new_p, loss_sh, g_sh, new_p1, loss_1, g_1 = sharded_and_single
     assert abs(loss_sh - loss_1) < 1e-4 * max(1.0, abs(loss_1)), \
         (loss_sh, loss_1)
-    flat_sh = jax.tree.leaves(new_p)
-    flat_1 = jax.tree.leaves(new_p1)
-    for a, b in zip(flat_sh, flat_1):
+    # gradients: tight — the 8-way psum vs single-device reduce must agree
+    # to summation-order noise
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=2e-4, atol=1e-5)
+    # updated params: loose — adam normalizes by sqrt(v), so for near-zero
+    # gradients the update approaches lr*sign(g) and reduce-order noise in
+    # g flips to an O(lr) param difference (observed: 4/3072 texels at
+    # ~4e-4 with lr 1e-2).  Bound it by lr/10 instead of chasing it.
+    for a, b in zip(jax.tree.leaves(new_p), jax.tree.leaves(new_p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-3)

@@ -22,9 +22,11 @@ import numpy as np
 import jax
 
 # persistent compilation cache: full-step programs are large and the remote
-# TPU compile path is slow; cache across runs.
-jax.config.update('jax_compilation_cache_dir',
-                  os.environ.get('JAX_CACHE_DIR', '/root/.jax_cache'))
+# TPU compile path is slow; cache across runs.  Host-fingerprinted: CPU AOT
+# artifacts from another machine poison the loader (see utils/hostcache.py).
+from nvdiffrecmc_tpu.utils.hostcache import host_cache_dir  # noqa: E402
+jax.config.update('jax_compilation_cache_dir', host_cache_dir(
+    os.environ.get('JAX_CACHE_DIR', '/root/.jax_cache')))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
 import jax.numpy as jnp
