@@ -605,46 +605,54 @@ def _shade_fwd_kernel(lists_hbm, samp_ref, gb_ref, trimat_hbm, out_ref,
     @pl.when(n > 0)
     def _():
         dma(0, 0).start()
-        # group-of-G all-occluded early exit (see pallas_tracer._trace_kernel
-        # for the pipelining rationale; per-leaf checks measured 26% slower)
-        G = EXIT_GROUP
-        n_g = jax.lax.div(n + (G - 1), G)
 
-        def cond(c):
-            g, done, _ = c
-            return (g < n_g) & (done == 0)
+        def visit(j, oc):
+            slot = jax.lax.rem(j, 2)
 
-        def gbody(c):
-            g, _, occ_col = c
+            @pl.when(j + 1 < n_lim)
+            def _():
+                dma(1 - slot, j + 1).start()
 
-            def ibody(i, oc):
-                j = g * G + i
-                slot = jax.lax.rem(j, 2)
+            dma(slot, j).wait()
+            E = jnp.dot(rayf, tri_vmem[slot],
+                        preferred_element_type=jnp.float32)   # [2RB, 5L]
+            hit = decode_hits(E, L, tmin=tmin)
+            return jnp.maximum(
+                oc, jnp.max(hit.astype(jnp.float32), axis=-1,
+                            keepdims=True))
 
-                @pl.when(j + 1 < n_g * G)
-                def _():
-                    dma(1 - slot, j + 1).start()
+        from .pallas_tracer import _early_exit_on
+        if not _early_exit_on():
+            n_lim = n
+            occ_col = jax.lax.fori_loop(
+                0, n, visit, jnp.zeros((2 * RB, 1), jnp.float32))
+        else:
+            # group-of-G all-occluded early exit (see
+            # pallas_tracer._trace_kernel for the pipelining rationale;
+            # per-leaf checks measured 26% slower)
+            G = EXIT_GROUP
+            n_g = jax.lax.div(n + (G - 1), G)
+            n_lim = n_g * G
 
-                dma(slot, j).wait()
-                E = jnp.dot(rayf, tri_vmem[slot],
-                            preferred_element_type=jnp.float32)  # [2RB, 5L]
-                hit = decode_hits(E, L, tmin=tmin)
-                return jnp.maximum(
-                    oc, jnp.max(hit.astype(jnp.float32), axis=-1,
-                                keepdims=True))
+            def cond(c):
+                g, done, _ = c
+                return (g < n_g) & (done == 0)
 
-            occ_col = jax.lax.fori_loop(0, G, ibody, occ_col)
-            done = (jnp.sum(occ_col) >= 2.0 * RB).astype(jnp.int32)
-            return (g + 1, done, occ_col)
+            def gbody(c):
+                g, _, occ_col = c
+                occ_col = jax.lax.fori_loop(
+                    0, G, lambda i, oc: visit(g * G + i, oc), occ_col)
+                done = (jnp.sum(occ_col) >= 2.0 * RB).astype(jnp.int32)
+                return (g + 1, done, occ_col)
 
-        g_end, done, occ_col = jax.lax.while_loop(
-            cond, gbody, (jnp.int32(0), jnp.int32(0),
-                          jnp.zeros((2 * RB, 1), jnp.float32)))
-        j_next = g_end * G
+            g_end, done, occ_col = jax.lax.while_loop(
+                cond, gbody, (jnp.int32(0), jnp.int32(0),
+                              jnp.zeros((2 * RB, 1), jnp.float32)))
+            j_next = g_end * G
 
-        @pl.when(j_next < n_g * G)
-        def _():
-            dma(jax.lax.rem(j_next, 2), j_next).wait()
+            @pl.when(j_next < n_lim)
+            def _():
+                dma(jax.lax.rem(j_next, 2), j_next).wait()
 
         vrow = jnp.broadcast_to(1.0 - occ_col.T, (n2, 2 * RB))
         srow = jax.lax.broadcasted_iota(jnp.int32, (n2, 2 * RB), 0)

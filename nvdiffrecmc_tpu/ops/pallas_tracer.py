@@ -34,6 +34,15 @@ from .bvh import LeafBVH, K_FEATS, N_FIELDS, ray_features, decode_hits
 BIG = 3e37
 EXIT_GROUP = 8   # leaves per all-occluded early-exit check
 
+# All-occluded early exit in the streaming trace loops.  The check is a
+# vector->scalar sync AND a pipeline serialization point every EXIT_GROUP
+# leaves; with the pixel coherence sort (pallas_shade) visit lists are
+# short for coherent AND incoherent G-buffers, so the exit rarely pays for
+# its sync.  Env-switchable for A/B (read at trace time).
+def _early_exit_on():
+    import os
+    return os.environ.get('NVDR_EARLY_EXIT', '0') not in ('0', 'false', '')
+
 
 # ---------------------------------------------------------------------------
 # Mask prepass: per-(block, leaf) AABB visit mask
@@ -207,56 +216,65 @@ def _trace_kernel(lists_hbm, rayf_ref, trimat_hbm, occ_ref,
     @pl.when(n > 0)
     def _():
         dma(0, 0).start()
-        # Early exit on all-occluded, checked once per group of G leaves:
-        # any-hit is monotone, so once every ray in the block is occluded
-        # the remaining leaves cannot change the answer.  The check is a
-        # vector->scalar sync (~2.3 us) AND a serialization point for the
-        # software pipeline, so it must NOT be per-leaf (measured: per-leaf
-        # checks cost 26% tracer throughput).  The visit count is padded to
-        # a multiple of G with clamped/zero list entries — redundant leaf
-        # re-visits are harmless for a monotone accumulator and cheaper
-        # than a tail loop.
-        n_g = jax.lax.div(n + (EXIT_GROUP - 1), EXIT_GROUP)
 
-        def cond(c):
-            g, done, _ = c
-            return (g < n_g) & (done == 0)
+        def visit(j, oc):
+            slot = jax.lax.rem(j, 2)
 
-        def gbody(c):
-            g, _, occ_col = c
+            @pl.when(j + 1 < n_lim)
+            def _():
+                dma(1 - slot, j + 1).start()
 
-            def ibody(i, oc):
-                j = g * EXIT_GROUP + i
-                slot = jax.lax.rem(j, 2)
+            dma(slot, j).wait()
+            E = jnp.dot(rayf, tri_vmem[slot],
+                        preferred_element_type=jnp.float32)   # [RB, 5L]
+            hit = decode_hits(E, L, tmin=tmin)
+            return jnp.maximum(
+                oc, jnp.max(hit.astype(jnp.float32), axis=-1,
+                            keepdims=True))
 
-                @pl.when(j + 1 < n_g * EXIT_GROUP)
-                def _():
-                    dma(1 - slot, j + 1).start()
+        if not _early_exit_on():
+            n_lim = n
+            occ_col = jax.lax.fori_loop(
+                0, n, visit, jnp.zeros((RB, 1), jnp.float32))
+            occ_ref[:, 0] = occ_col[:, 0]
+        else:
+            # Early exit on all-occluded, checked once per group of G
+            # leaves: any-hit is monotone, so once every ray in the block
+            # is occluded the remaining leaves cannot change the answer.
+            # The check is a vector->scalar sync (~2.3 us) AND a
+            # serialization point for the software pipeline, so it must
+            # NOT be per-leaf (measured: per-leaf checks cost 26% tracer
+            # throughput).  The visit count is padded to a multiple of G
+            # with clamped/zero list entries — redundant leaf re-visits
+            # are harmless for a monotone accumulator and cheaper than a
+            # tail loop.
+            n_g = jax.lax.div(n + (EXIT_GROUP - 1), EXIT_GROUP)
+            n_lim = n_g * EXIT_GROUP
 
-                dma(slot, j).wait()
-                E = jnp.dot(rayf, tri_vmem[slot],
-                            preferred_element_type=jnp.float32)  # [RB, 5L]
-                hit = decode_hits(E, L, tmin=tmin)
-                return jnp.maximum(
-                    oc, jnp.max(hit.astype(jnp.float32), axis=-1,
-                                keepdims=True))
+            def cond(c):
+                g, done, _ = c
+                return (g < n_g) & (done == 0)
 
-            occ_col = jax.lax.fori_loop(0, EXIT_GROUP, ibody, occ_col)
-            done = (jnp.sum(occ_col) >= RB).astype(jnp.int32)
-            return (g + 1, done, occ_col)
+            def gbody(c):
+                g, _, occ_col = c
+                occ_col = jax.lax.fori_loop(
+                    0, EXIT_GROUP,
+                    lambda i, oc: visit(g * EXIT_GROUP + i, oc), occ_col)
+                done = (jnp.sum(occ_col) >= RB).astype(jnp.int32)
+                return (g + 1, done, occ_col)
 
-        g_end, done, occ_col = jax.lax.while_loop(
-            cond, gbody, (jnp.int32(0), jnp.int32(0),
-                          jnp.zeros((RB, 1), jnp.float32)))
-        occ_ref[:, 0] = occ_col[:, 0]
+            g_end, done, occ_col = jax.lax.while_loop(
+                cond, gbody, (jnp.int32(0), jnp.int32(0),
+                              jnp.zeros((RB, 1), jnp.float32)))
+            occ_ref[:, 0] = occ_col[:, 0]
 
-        # drain the prefetch issued for the next group's first leaf when we
-        # exited early
-        j_next = g_end * EXIT_GROUP
+            # drain the prefetch issued for the next group's first leaf
+            # when we exited early
+            j_next = g_end * EXIT_GROUP
 
-        @pl.when(j_next < n_g * EXIT_GROUP)
-        def _():
-            dma(jax.lax.rem(j_next, 2), j_next).wait()
+            @pl.when(j_next < n_lim)
+            def _():
+                dma(jax.lax.rem(j_next, 2), j_next).wait()
 
 
 @functools.partial(jax.jit, static_argnames=('ray_block', 'tmin', 'tmax',

@@ -304,3 +304,20 @@ def interpolate(attr, rast, attr_idx, rast_db=None):
     dady = d0 * rast_db[..., 1:2] + d1 * rast_db[..., 3:4]
     out_da = jnp.where(mask, jnp.concatenate([dadx, dady], axis=-1), 0.0)
     return out, out_da
+
+
+def interpolate_face(attr_face, rast):
+    """Interpolate a per-FACE attribute: all three corners share the value,
+    so the barycentric combination collapses to a single gather (vs 3 in the
+    generic path; gathers/scatters are serial on TPU so this triples the
+    geometric-normal G-buffer + adjoint throughput).
+
+    attr_face: [T, C] or [N, T, C]; rast: [N,H,W,4].  Returns [N,H,W,C]."""
+    if attr_face.ndim == 2:
+        attr_face = attr_face[None]
+    N = rast.shape[0]
+    tid = rast[..., 3].astype(jnp.int32)
+    t = jnp.clip(tid - 1, 0, attr_face.shape[1] - 1)
+    av = jax.vmap(lambda a, i: a[i])(
+        jnp.broadcast_to(attr_face, (N,) + attr_face.shape[1:]), t)
+    return jnp.where((tid > 0)[..., None], av, 0.0)

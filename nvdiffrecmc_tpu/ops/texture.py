@@ -184,3 +184,26 @@ def texture_sample(mips, uv, uv_da=None, filter_mode='linear-mipmap-linear',
     c0 = level_tap(l0)
     c1 = level_tap(l1)
     return c0 * (1 - frac) + c1 * frac
+
+
+def texture_sample_multi(mips_list, uv, uv_da=None,
+                         filter_mode='linear-mipmap-linear',
+                         boundary_mode='wrap'):
+    """Sample several same-resolution mip pyramids with ONE tap set.
+
+    The trilinear tap indices and weights depend only on (uv, uv_da), so
+    channel-concatenating the pyramids makes the whole multi-texture sample
+    a single gather — and, critically, its backward a single scatter-add
+    into the packed pyramid instead of one scatter set per texture (XLA
+    scatters are serial on TPU; measured 253 ms -> ~90 ms per train step at
+    512^2 screen, 3x 1024^2 textures).
+
+    mips_list: list of mip lists, all with identical level resolutions.
+    Returns a list of sampled [N,h,w,C_i], one per input pyramid.
+    """
+    chans = [m[0].shape[-1] for m in mips_list]
+    cat = [jnp.concatenate([m[k] for m in mips_list], axis=-1)
+           for k in range(len(mips_list[0]))]
+    out = texture_sample(cat, uv, uv_da, filter_mode, boundary_mode)
+    offs = np.concatenate([[0], np.cumsum(chans)])
+    return [out[..., offs[i]:offs[i + 1]] for i in range(len(mips_list))]

@@ -51,10 +51,27 @@ def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
         kd_grad = jnp.abs(all_tex_jitter[..., 0:3] - kd)
         ks_grad = jnp.abs(all_tex_jitter[..., 3:6] - ks) * jnp.array([0., 1., 1.])
     else:
-        kd = material['kd'].sample(gb_texc, gb_texc_deriv)
-        ks = material['ks'].sample(gb_texc, gb_texc_deriv)[..., 0:3]
-        if 'normal' in material:
-            perturbed_nrm = material['normal'].sample(gb_texc, gb_texc_deriv)
+        # Fuse same-resolution texture lookups into one tap set: the tap
+        # indices/weights depend only on (texc, deriv), so one channel-
+        # concatenated sample turns the backward's per-texture scatter-adds
+        # into a single scatter (XLA scatter is serial on TPU; this was the
+        # largest single cost of the train step backward).
+        tex_keys = ['kd', 'ks'] + (['normal'] if 'normal' in material else [])
+        mips_per = [material[k].buildMips() for k in tex_keys]
+        shapes = {tuple(m.shape[1:3] for m in mips) for mips in mips_per}
+        if len(shapes) == 1:
+            outs = texture_mod.tex_ops.texture_sample_multi(
+                mips_per, gb_texc, gb_texc_deriv)
+            kd = outs[0]
+            ks = outs[1][..., 0:3]
+            if 'normal' in material:
+                perturbed_nrm = outs[2]
+        else:
+            kd = material['kd'].sample(gb_texc, gb_texc_deriv)
+            ks = material['ks'].sample(gb_texc, gb_texc_deriv)[..., 0:3]
+            if 'normal' in material:
+                perturbed_nrm = material['normal'].sample(gb_texc,
+                                                          gb_texc_deriv)
         kd_jitter = bilinear_sample(kd, jitter, boundary_mode='clamp')
         ks_jitter = bilinear_sample(ks, jitter, boundary_mode='clamp')
         kd_grad = jnp.abs(kd_jitter[..., 0:3] - kd[..., 0:3]) * grad_weight
@@ -166,23 +183,43 @@ def render_layer(FLAGS, v_pos_clip, rast, rast_deriv, mesh, view_pos, lgt,
         rast_out_s = rast
         rast_out_deriv_s = rast_deriv
 
-    gb_pos, _ = ras.interpolate(mesh.v_pos, rast_out_s, mesh.t_pos_idx)
-
     face_normals = mesh_ops.face_normals(mesh.v_pos, mesh.t_pos_idx)
-    fn_idx = jnp.tile(jnp.arange(face_normals.shape[0], dtype=jnp.int32)[:, None],
-                      (1, 3))
-    gb_geometric_normal, _ = ras.interpolate(face_normals, rast_out_s, fn_idx)
+    gb_geometric_normal = ras.interpolate_face(face_normals, rast_out_s)
 
-    gb_normal, _ = ras.interpolate(mesh.v_nrm, rast_out_s, mesh.t_nrm_idx)
-    gb_tangent, _ = ras.interpolate(mesh.v_tng, rast_out_s, mesh.t_tng_idx)
+    # Stack every attribute indexed by the same buffer into ONE gather (and
+    # one scatter-add in the backward): pos(3) nrm(3) tng(3) clip(4).
+    # Gathers/scatters are serial on TPU, so 4 separate interpolates cost
+    # 4x this one.  auto_normals/compute_tangents share t_pos_idx by
+    # construction (mesh.py:55,62); OBJ meshes with distinct index buffers
+    # take the generic path below.
+    if (mesh.t_nrm_idx is mesh.t_pos_idx
+            and mesh.t_tng_idx is mesh.t_pos_idx):
+        attr_cat = jnp.concatenate(
+            [mesh.v_pos, mesh.v_nrm, mesh.v_tng,
+             jax.lax.stop_gradient(v_pos_clip[0])], axis=-1)
+        out, out_da = ras.interpolate(attr_cat, rast_out_s, mesh.t_pos_idx,
+                                      rast_db=rast_out_deriv_s)
+        gb_pos = out[..., 0:3]
+        gb_normal = out[..., 3:6]
+        gb_tangent = out[..., 6:9]
+        nc = 13
+        clip_pos = out[..., 9:13]
+        clip_pos_deriv = jnp.concatenate(
+            [out_da[..., 9:13], out_da[..., nc + 9:nc + 13]], axis=-1)
+    else:
+        gb_pos, _ = ras.interpolate(mesh.v_pos, rast_out_s, mesh.t_pos_idx)
+        gb_normal, _ = ras.interpolate(mesh.v_nrm, rast_out_s, mesh.t_nrm_idx)
+        gb_tangent, _ = ras.interpolate(mesh.v_tng, rast_out_s,
+                                        mesh.t_tng_idx)
+        clip_pos, clip_pos_deriv = ras.interpolate(
+            jax.lax.stop_gradient(v_pos_clip[0]), rast_out_s, mesh.t_pos_idx,
+            rast_db=rast_out_deriv_s)
+
     gb_texc, gb_texc_deriv = ras.interpolate(
         mesh.v_tex, rast_out_s, mesh.t_tex_idx, rast_db=rast_out_deriv_s)
 
     # depth & depth gradient (stop-gradient, reference render.py:228-234)
     eps = 1e-5
-    clip_pos, clip_pos_deriv = ras.interpolate(
-        jax.lax.stop_gradient(v_pos_clip[0]), rast_out_s, mesh.t_pos_idx,
-        rast_db=rast_out_deriv_s)
     clip_pos = jax.lax.stop_gradient(clip_pos)
     clip_pos_deriv = jax.lax.stop_gradient(clip_pos_deriv)
     # screen-derivative magnitude of (z, w): deriv output is (dA/dX, dA/dY)
@@ -239,24 +276,32 @@ def render_mesh(FLAGS, mesh, mtx_in, view_pos, lgt, resolution, bvh, perms,
         B = mtx_in.shape[0]
         background = jnp.zeros((B, full_res[0], full_res[1], 4))
 
-    def composite_buffer(k, bg, do_aa):
-        accum = bg
-        for buffers, rast in reversed(layers):
+    # Composite every buffer per layer, then antialias ALL buffers with ONE
+    # stacked-channel antialias call per layer.  The AA blend weights depend
+    # only on (rast, v_pos_clip, tri) — shared across buffers — so stacking
+    # is mathematically identical to per-buffer AA (the reference antialiases
+    # every buffer, render.py:284-291,325-327) but runs the expensive
+    # vertex-cotangent backward once instead of once per buffer
+    # (measured 328 ms -> ~60 ms at 512^2 x 11 buffers).
+    key_list = list(layers[0][0].keys())
+    chans = {k: layers[0][0][k].shape[-1] for k in key_list}
+    accums = {k: (background if k == 'shaded'
+                  else jnp.zeros_like(layers[0][0][k])) for k in key_list}
+    for buffers, rast in reversed(layers):
+        for k in key_list:
             alpha = (rast[..., -1:] > 0).astype(jnp.float32) * buffers[k][..., -1:]
             src = jnp.concatenate(
                 (buffers[k][..., :-1], jnp.ones_like(buffers[k][..., -1:])), -1)
-            accum = accum * (1.0 - alpha) + src * alpha
-            if do_aa:
-                accum = antialias(accum, rast, v_pos_clip, mesh.t_pos_idx)
-        return accum
+            accums[k] = accums[k] * (1.0 - alpha) + src * alpha
+        stacked = jnp.concatenate([accums[k] for k in key_list], axis=-1)
+        stacked = antialias(stacked, rast, v_pos_clip, mesh.t_pos_idx)
+        off = 0
+        for k in key_list:
+            accums[k] = stacked[..., off:off + chans[k]]
+            off += chans[k]
 
-    out_buffers = {}
-    for k in layers[0][0].keys():
-        if k == 'shaded':
-            accum = composite_buffer(k, background, True)
-        else:
-            accum = composite_buffer(k, jnp.zeros_like(layers[0][0][k]), True)
-        out_buffers[k] = avg_pool_nhwc(accum, spp) if spp > 1 else accum
+    out_buffers = {k: (avg_pool_nhwc(accums[k], spp) if spp > 1 else accums[k])
+                   for k in key_list}
     return out_buffers
 
 

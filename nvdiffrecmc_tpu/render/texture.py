@@ -33,16 +33,19 @@ class Texture2D:
     def getMips(self):
         return self.data if isinstance(self.data, list) else [self.data]
 
-    def sample(self, texc, texc_deriv=None, filter_mode='linear-mipmap-linear'):
+    def buildMips(self):
+        """The effective mip list (auto chain built through the custom mip
+        op so gradients reach the base level)."""
         if isinstance(self.data, list):
-            mips = self.data
-        else:
-            d = self.data
-            if d.shape[1] > 1 and d.shape[2] > 1:
-                mips = tex_ops.build_mip_chain(d)
-            else:
-                mips = [d]
-        return tex_ops.texture_sample(mips, texc, texc_deriv, filter_mode)
+            return self.data
+        d = self.data
+        if d.shape[1] > 1 and d.shape[2] > 1:
+            return tex_ops.build_mip_chain(d)
+        return [d]
+
+    def sample(self, texc, texc_deriv=None, filter_mode='linear-mipmap-linear'):
+        return tex_ops.texture_sample(self.buildMips(), texc, texc_deriv,
+                                      filter_mode)
 
     def clamp(self):
         """Out-of-place projection (returns a clamped copy; applied after each
