@@ -70,6 +70,11 @@ DEFAULTS = dict(
     data_root='/root/reference',
     resume=False,
     checkpoint_interval=0,
+    # split each optimizer step into batch/micro_batch gradient programs,
+    # accumulated on device: keeps every XLA program under the TPU worker
+    # watchdog (~20 s, PERF_NOTES.md) at nerf-scale batch x 800^2 workloads.
+    # 0 = off (single program, reference semantics).
+    micro_batch=0,
     leaf_size=128,
     max_tris=None,
     out_root='out',
@@ -111,6 +116,8 @@ def parse_flags(argv=None):
     parser.add_argument('--denoiser_demodulate', type=bool, default=True)
     parser.add_argument('--data-root', type=str,
                         default=DEFAULTS['data_root'])
+    parser.add_argument('--micro-batch', type=int,
+                        default=DEFAULTS['micro_batch'])
     args = parser.parse_args(argv)
 
     FLAGS = dict(DEFAULTS)

@@ -348,7 +348,7 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
     perms = envshade.make_perms(FLAGS['n_samples'])
     denoiser_on = FLAGS['denoiser'] == 'bilateral'
 
-    def train_step(params, opt_state, target, it, key):
+    def compute_grads(params, target, it, key):
         tables = light_mod.update_pdf(params['light'])
         lgt = {'base': params['light'], 'pdf': tables.pdf,
                'rows': tables.rows, 'cols': tables.cols}
@@ -374,7 +374,9 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
             return img_loss + reg_loss, (img_loss, reg_loss)
 
         grads, (img_loss, reg_loss) = jax.grad(loss_fn, has_aux=True)(params)
+        return grads, img_loss, reg_loss
 
+    def apply_grads(params, opt_state, grads):
         # gradient-scale conventions (reference train.py:439-443 + the tcnn
         # backward hooks, see hashgrid.py docstring)
         if FLAGS['learn_lighting'] and optimize_light:
@@ -410,9 +412,46 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
         # projections (reference train.py:467-476)
         new_params['mat'] = clamp_material(new_params['mat'], mat_static)
         new_params['light'] = jnp.clip(new_params['light'], min=0.01)
-        return new_params, new_opt, img_loss, reg_loss
+        return new_params, new_opt
 
-    train_step = jax.jit(train_step, donate_argnums=(0, 1))
+    compute_grads = jax.jit(compute_grads)
+    apply_grads = jax.jit(apply_grads, donate_argnums=(0, 1, 2))
+    _acc = jax.jit(lambda a, g: jax.tree.map(jnp.add, a, g),
+                   donate_argnums=(0,))
+    _avg = jax.jit(lambda g, n: jax.tree.map(lambda x: x / n, g),
+                   donate_argnums=(0,))
+
+    micro = int(FLAGS.get('micro_batch') or 0)
+    use_micro = micro > 0 and FLAGS['batch'] > micro
+    if use_micro:
+        assert FLAGS['batch'] % micro == 0, (FLAGS['batch'], micro)
+
+    def train_step(params, opt_state, target, it, key):
+        """One optimizer step.  With micro_batch set, gradients are
+        accumulated over batch/micro_batch small XLA programs (each under
+        the TPU worker watchdog, PERF_NOTES.md) — the mean gradient is
+        identical to the single-program batch gradient."""
+        if use_micro:
+            B = FLAGS['batch']
+            n = B // micro
+            acc, il, rl = None, 0.0, 0.0
+            for i in range(n):
+                sl = {k: (v[i * micro:(i + 1) * micro]
+                          if hasattr(v, 'ndim') and v.ndim > 0
+                          and v.shape[0] == B else v)
+                      for k, v in target.items()}
+                g, a, b = compute_grads(params, sl, it,
+                                        jax.random.fold_in(key, i))
+                acc = g if acc is None else _acc(acc, g)
+                il = il + a
+                rl = rl + b
+            grads = _avg(acc, jnp.float32(n))
+            img_loss, reg_loss = il / n, rl / n
+        else:
+            grads, img_loss, reg_loss = compute_grads(params, target, it,
+                                                      key)
+        params, opt_state = apply_grads(params, opt_state, grads)
+        return params, opt_state, img_loss, reg_loss
 
     it_batches = batch_iterator(dataset_train, FLAGS['batch'], shuffle=True)
     key = jax.random.PRNGKey(42 + pass_idx)
