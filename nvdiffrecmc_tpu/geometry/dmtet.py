@@ -191,9 +191,27 @@ class DMTetGeometry:
         else:
             print('tet grid %s not found; generating Kuhn grid' % path)
             tet_verts, tet_idx = kuhn_tet_grid(grid_res)
+            try:  # cache for subsequent runs (large grids take minutes on
+                os.makedirs(os.path.dirname(path), exist_ok=True)  # 1 core)
+                np.savez(path, vertices=tet_verts, indices=tet_idx)
+            except OSError:
+                pass
         self.verts = jnp.asarray(tet_verts) * scale
         self.indices = jnp.asarray(tet_idx)
-        edge_uniq, edge_map = _precompute_edge_tables(tet_idx)
+        # edge tables: np.unique over n_tets*6 edges is minutes at r=128 on
+        # one core — cache beside the grid, keyed by tet count
+        epath = os.path.join('data', 'tets',
+                             'edges_%d_%d.npz' % (grid_res, tet_idx.shape[0]))
+        if os.path.exists(epath):
+            e = np.load(epath)
+            edge_uniq, edge_map = e['uniq'], e['map']
+        else:
+            edge_uniq, edge_map = _precompute_edge_tables(tet_idx)
+            try:
+                os.makedirs(os.path.dirname(epath), exist_ok=True)
+                np.savez(epath, uniq=edge_uniq, map=edge_map)
+            except OSError:
+                pass
         self.edge_uniq = jnp.asarray(edge_uniq)
         self.edge_map = jnp.asarray(edge_map)
         num_tets = int(self.indices.shape[0])
