@@ -11,6 +11,7 @@ deform exactly like the reference (zero-crossing interpolation).
 """
 
 import os
+from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
@@ -236,8 +237,34 @@ class DMTetGeometry:
     def parameters(self):
         return self.init_params
 
+    # The grid tables scale as O(grid_res^3) (~1 GB total at r=128).  If a
+    # jitted train step closes over them they are embedded as literal
+    # constants in the serialized module, which the remote-compile endpoint
+    # rejects (HTTP 413, PERF_NOTES.md session 5) — and under multi-chip
+    # they'd be replicated per-program instead of shardable.  consts() /
+    # bind_consts() let the driver pass them as explicit jit arguments:
+    # trace-time attribute swap, restored after tracing.
+    BIG_ATTRS = ('verts', 'indices', 'edge_uniq', 'edge_map', 'uvs')
+
     def getAABB(self):
         return (jnp.min(self.verts, axis=0), jnp.max(self.verts, axis=0))
+
+    def consts(self):
+        return {k: getattr(self, k) for k in self.BIG_ATTRS}
+
+    @contextmanager
+    def bind_consts(self, consts):
+        if consts is None:
+            yield
+            return
+        old = {k: getattr(self, k) for k in consts}
+        try:
+            for k, v in consts.items():
+                setattr(self, k, v)
+            yield
+        finally:
+            for k, v in old.items():
+                setattr(self, k, v)
 
     def tri_count(self, params):
         """Host-side overflow check: (n_surface_tris, max_tris slots).
@@ -248,14 +275,15 @@ class DMTetGeometry:
         loudly so truncation is never a silent wrong-gradient failure."""
         if not hasattr(self, '_tri_count_jit'):
             @jax.jit
-            def f(sdf):
+            def f(sdf, indices):  # indices as arg, not a 413-sized const
                 occ = sdf > 0
-                occ_f = occ[self.indices]
+                occ_f = occ[indices]
                 tetindex = (occ_f * jnp.array([1, 2, 4, 8])).sum(axis=-1)
                 ntt = jnp.asarray(NUM_TRIANGLES_TABLE)
                 return jnp.sum(ntt[tetindex])
             self._tri_count_jit = f
-        return int(self._tri_count_jit(params['sdf'])), self.max_tris
+        return (int(self._tri_count_jit(params['sdf'], self.indices)),
+                self.max_tris)
 
     def getMesh(self, params, material, build_bvh=True, leaf_size=128):
         v_deformed = (self.verts

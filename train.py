@@ -11,6 +11,7 @@ Usage: python train.py --config configs/bob.json
 """
 
 import argparse
+import contextlib
 import json
 import os
 import sys
@@ -348,7 +349,19 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
     perms = envshade.make_perms(FLAGS['n_samples'])
     denoiser_on = FLAGS['denoiser'] == 'bilateral'
 
-    def compute_grads(params, target, it, key):
+    # Big geometry tables (DMTet grid/edge/uv arrays, ~1 GB at grid 128) must
+    # be jit *arguments*, not closure constants: embedded constants blow the
+    # remote-compile body limit (HTTP 413) and would be replicated per-program
+    # under multi-chip (PERF_NOTES.md session 5).
+    geo_consts = geometry.consts() if hasattr(geometry, 'consts') else None
+
+    def compute_grads(params, target, it, key, gconsts):
+        ctx = (geometry.bind_consts(gconsts) if gconsts is not None
+               else contextlib.nullcontext())
+        with ctx:
+            return _compute_grads_body(params, target, it, key)
+
+    def _compute_grads_body(params, target, it, key):
         tables = light_mod.update_pdf(params['light'])
         lgt = {'base': params['light'], 'pdf': tables.pdf,
                'rows': tables.rows, 'cols': tables.cols}
@@ -441,7 +454,8 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
                           and v.shape[0] == B else v)
                       for k, v in target.items()}
                 g, a, b = compute_grads(params, sl, it,
-                                        jax.random.fold_in(key, i))
+                                        jax.random.fold_in(key, i),
+                                        geo_consts)
                 acc = g if acc is None else _acc(acc, g)
                 il = il + a
                 rl = rl + b
@@ -449,7 +463,7 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
             img_loss, reg_loss = il / n, rl / n
         else:
             grads, img_loss, reg_loss = compute_grads(params, target, it,
-                                                      key)
+                                                      key, geo_consts)
         params, opt_state = apply_grads(params, opt_state, grads)
         return params, opt_state, img_loss, reg_loss
 
