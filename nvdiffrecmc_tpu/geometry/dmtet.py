@@ -108,59 +108,112 @@ def map_uv_tables(num_tets):
     return uvs, N
 
 
-def marching_tets(v_deformed, sdf, tet_idx, edge_uniq, edge_map, max_tris):
+def marching_tets(v_deformed_t, sdf, tet_idx_t, edge_uniq_t, edge_map_t,
+                  max_tris, max_verts=None):
     """Extract the zero-level-set mesh.
 
-    v_deformed [Nv,3], sdf [Nv], tet_idx [Nt,4] int32, edge_uniq [E,2],
-    edge_map [Nt,6].  Returns (verts [E,3], faces [max_tris,3] int32 into the
-    edge-vertex array, face_gidx [max_tris], tri_mask [max_tris])."""
-    occ = sdf > 0
-    occ_f = occ[tet_idx]                                      # [Nt,4]
-    tetindex = (occ_f * jnp.array([1, 2, 4, 8])).sum(axis=-1)  # [Nt]
+    All grid-sized tensors are TRANSPOSED — [k, huge] instead of [huge, k] —
+    because XLA:TPU materializes [huge, k<128] temporaries in (8,128)-tiled
+    layouts, padding the minor dim to 128 (measured 42.7x HBM expansion at
+    dmtet_grid 128: a 288 MB gather temp became 12 GB and OOMed the chip).
+    Vertices are additionally COMPACTED to the crossing edges only via a
+    static max_verts buffer (defaults to max_tris; a closed triangle mesh
+    has V ~= T/2, so this carries 2x headroom): at grid 128 there are 14.9M
+    unique tet edges but only ~100k crossing ones, and every downstream
+    consumer (normals, tangents, BVH, rasterizer) scales with the vertex
+    buffer.
 
-    # per-unique-edge vertex: sdf zero-crossing interpolation (differentiable
-    # w.r.t. both endpoint positions and sdf values, reference dmtet.py:111-118)
-    s0 = sdf[edge_uniq[:, 0]]
-    s1 = sdf[edge_uniq[:, 1]]
-    p0 = v_deformed[edge_uniq[:, 0]]
-    p1 = v_deformed[edge_uniq[:, 1]]
+    v_deformed_t [3,Nv], sdf [Nv], tet_idx_t [4,Nt] int32, edge_uniq_t [2,E],
+    edge_map_t [6,Nt].  Returns (verts [max_verts,3] compact, faces
+    [max_tris,3] int32 into the compact vertex array, face_gidx [max_tris]
+    slot-major (tet = gidx % Nt, tri = gidx // Nt), tri_mask [max_tris],
+    overflow bool — true if either buffer truncated)."""
+    if max_verts is None:
+        max_verts = max_tris
+    Nt = tet_idx_t.shape[1]
+    E = edge_uniq_t.shape[1]
+    occ = sdf > 0
+    occ_f = occ[tet_idx_t].astype(jnp.int32)                   # [4,Nt]
+    tetindex = (occ_f * jnp.array([1, 2, 4, 8])[:, None]).sum(axis=0)
+
+    # compact vertex slots: one per sign-crossing unique edge.  cumsum gives
+    # every edge its compact position without any scatter.
+    e0, e1 = edge_uniq_t[0], edge_uniq_t[1]                    # [E]
+    active_edge = occ[e0] != occ[e1]                           # [E]
+    cpos = jnp.cumsum(active_edge.astype(jnp.int32)) - 1       # [E]
+    n_active = jnp.sum(active_edge.astype(jnp.int32))
+    vert_overflow = n_active > max_verts
+    remap = jnp.clip(cpos, 0, max_verts - 1)                   # [E]
+    (sel_e,) = jnp.nonzero(active_edge, size=max_verts, fill_value=0)
+
+    # zero-crossing interpolation on the selected edges only (differentiable
+    # w.r.t. endpoint positions and sdf, reference dmtet.py:111-118)
+    ge0 = e0[sel_e]
+    ge1 = e1[sel_e]
+    s0 = sdf[ge0]
+    s1 = sdf[ge1]
+    p0 = v_deformed_t[:, ge0]                                  # [3,max_verts]
+    p1 = v_deformed_t[:, ge1]
     denom = s0 - s1
     denom = jnp.where(jnp.abs(denom) > 1e-10, denom,
                       jnp.where(denom >= 0, 1e-10, -1e-10))
     w0 = -s1 / denom
     w1 = s0 / denom
-    verts = p0 * w0[:, None] + p1 * w1[:, None]
-    active_edge = occ[edge_uniq[:, 0]] != occ[edge_uniq[:, 1]]
-    # inactive edges have meaningless interpolation; park them at the midpoint
-    verts = jnp.where(active_edge[:, None], verts, (p0 + p1) * 0.5)
+    verts_t = p0 * w0[None, :] + p1 * w1[None, :]
+    vmask = jnp.arange(max_verts) < n_active
+    # unused slots have meaningless interpolation; park them at the midpoint
+    verts_t = jnp.where(vmask[None, :], verts_t, (p0 + p1) * 0.5)
+    verts = verts_t.T                                          # [max_verts,3]
 
-    # triangle slots: 2 per tet
-    tt = jnp.asarray(TRIANGLE_TABLE)
+    # triangle slots: 2 per tet, slot-major ([all tets slot 0 | slot 1])
+    tt_t = jnp.asarray(TRIANGLE_TABLE.T)                       # [6,16]
     ntt = jnp.asarray(NUM_TRIANGLES_TABLE)
-    n_tri = ntt[tetindex]                                     # [Nt]
-    local = tt[tetindex]                                      # [Nt,6]
-    # map local edge slots to unique-edge (vertex) ids
-    gathered = jnp.take_along_axis(edge_map, jnp.clip(local, 0), axis=1)
-    slot_valid = jnp.stack([n_tri >= 1, n_tri >= 2], axis=1)  # [Nt,2]
-    slot_faces = gathered.reshape(-1, 2, 3)                   # [Nt,2,3]
+    n_tri = ntt[tetindex]                                      # [Nt]
+    local_t = tt_t[:, tetindex]                                # [6,Nt]
+    # map local edge slots to unique-edge ids
+    gathered_t = jnp.take_along_axis(edge_map_t, jnp.clip(local_t, 0), axis=0)
+    slot_faces_t = jnp.concatenate([gathered_t[0:3], gathered_t[3:6]],
+                                   axis=1)                     # [3, 2*Nt]
+    flat_valid = jnp.concatenate([n_tri >= 1, n_tri >= 2])     # [2*Nt]
 
-    flat_valid = slot_valid.reshape(-1)                       # [Nt*2]
-    (sel,) = jnp.nonzero(flat_valid, size=max_tris,
-                         fill_value=flat_valid.shape[0])
-    overflow = jnp.sum(flat_valid) > max_tris
-    tri_mask = (sel < flat_valid.shape[0]).astype(jnp.float32)
-    sel_c = jnp.clip(sel, 0, flat_valid.shape[0] - 1)
-    faces = slot_faces.reshape(-1, 3)[sel_c]
+    (sel,) = jnp.nonzero(flat_valid, size=max_tris, fill_value=2 * Nt)
+    overflow = (jnp.sum(flat_valid) > max_tris) | vert_overflow
+    tri_mask = (sel < 2 * Nt).astype(jnp.float32)
+    sel_c = jnp.clip(sel, 0, 2 * Nt - 1)
+    faces_e = slot_faces_t[:, sel_c]                           # [3,max_tris]
+    faces = remap[faces_e].T                                   # [max_tris,3]
     faces = jnp.where(tri_mask[:, None] > 0, faces, 0).astype(jnp.int32)
     face_gidx = jnp.where(tri_mask > 0, sel_c, 0).astype(jnp.int32)
     return verts, faces, face_gidx, tri_mask, overflow
 
 
-def sdf_reg_loss(sdf, all_edges):
+def face_uvs(face_gidx, n_tets, uv_N):
+    """Per-face UV corners of the static per-tet chart atlas (reference
+    dmtet.py:54-82), computed arithmetically from the slot-major face index
+    instead of a stored [4*Nt, 2] table (50M rows at grid 128).
+
+    Returns (v_tex [3*T, 2], t_tex_idx [T, 3])."""
+    tet = face_gidx % n_tets
+    tri = face_gidx // n_tets
+    ii = tet // uv_N                       # chart row    -> y
+    jj = tet % uv_N                        # chart column -> x
+    base = jnp.stack([jj.astype(jnp.float32) / uv_N,
+                      ii.astype(jnp.float32) / uv_N], axis=-1)   # [T,2]
+    pad = 0.9 / uv_N
+    offs = jnp.asarray([[[0.0, 0.0], [pad, 0.0], [pad, pad]],
+                        [[0.0, 0.0], [pad, pad], [0.0, pad]]],
+                       dtype=jnp.float32)  # [2 tris, 3 corners, 2]
+    uv = base[:, None, :] + offs[tri]                            # [T,3,2]
+    T = face_gidx.shape[0]
+    return uv.reshape(-1, 2), jnp.arange(3 * T, dtype=jnp.int32).reshape(-1, 3)
+
+
+def sdf_reg_loss(sdf, all_edges_t):
     """Sign-consistency BCE over sign-crossing tet edges
-    (reference dmtet.py:147-153); masked mean replaces boolean indexing."""
-    s0 = sdf[all_edges[:, 0]]
-    s1 = sdf[all_edges[:, 1]]
+    (reference dmtet.py:147-153); masked mean replaces boolean indexing.
+    all_edges_t is transposed [2, E]."""
+    s0 = sdf[all_edges_t[0]]
+    s1 = sdf[all_edges_t[1]]
     mask = (jnp.sign(s0) != jnp.sign(s1)).astype(jnp.float32)
 
     def bce_logits(logit, target):
@@ -197,8 +250,9 @@ class DMTetGeometry:
                 np.savez(path, vertices=tet_verts, indices=tet_idx)
             except OSError:
                 pass
-        self.verts = jnp.asarray(tet_verts) * scale
-        self.indices = jnp.asarray(tet_idx)
+        # stored TRANSPOSED ([k, huge]) — see marching_tets docstring
+        self.verts = jnp.asarray(tet_verts.T) * scale            # [3, Nv]
+        self.indices = jnp.asarray(tet_idx.T)                    # [4, Nt]
         # edge tables: np.unique over n_tets*6 edges is minutes at r=128 on
         # one core — cache beside the grid, keyed by tet count
         epath = os.path.join('data', 'tets',
@@ -213,11 +267,13 @@ class DMTetGeometry:
                 np.savez(epath, uniq=edge_uniq, map=edge_map)
             except OSError:
                 pass
-        self.edge_uniq = jnp.asarray(edge_uniq)
-        self.edge_map = jnp.asarray(edge_map)
-        num_tets = int(self.indices.shape[0])
-        uvs, self.uv_N = map_uv_tables(num_tets)
-        self.uvs = jnp.asarray(uvs)
+        self.edge_uniq = jnp.asarray(edge_uniq.T)                # [2, E]
+        self.edge_map = jnp.asarray(edge_map.T)                  # [6, Nt]
+        num_tets = int(self.indices.shape[1])
+        self.num_tets = num_tets
+        # chart-grid size of the per-tet UV atlas; the per-face corner uvs
+        # are computed on the fly (face_uvs) instead of storing [4*Nt, 2]
+        self.uv_N = int(np.ceil(np.sqrt((num_tets * 2 + 1) // 2)))
         # MAX_TRIS: the surface of a blob at grid resolution r has O(r^2)
         # crossing tets.  The reference's uniform-random SDF init (rand-0.1,
         # dmtet.py:195) measures 72k surface tris at r=64, decaying as the
@@ -228,10 +284,10 @@ class DMTetGeometry:
         # leaves have inverted AABBs, so only the setup matmuls see them.
         self.max_tris = max_tris or 24 * grid_res * grid_res
         rng = np.random.RandomState(seed)
-        sdf = rng.rand(self.verts.shape[0]).astype(np.float32) - 0.1
+        sdf = rng.rand(self.verts.shape[1]).astype(np.float32) - 0.1
         self.init_params = {
             'sdf': jnp.asarray(sdf),
-            'deform': jnp.zeros_like(self.verts),
+            'deform': jnp.zeros_like(self.verts),   # [3, Nv] transposed
         }
 
     def parameters(self):
@@ -244,10 +300,10 @@ class DMTetGeometry:
     # they'd be replicated per-program instead of shardable.  consts() /
     # bind_consts() let the driver pass them as explicit jit arguments:
     # trace-time attribute swap, restored after tracing.
-    BIG_ATTRS = ('verts', 'indices', 'edge_uniq', 'edge_map', 'uvs')
+    BIG_ATTRS = ('verts', 'indices', 'edge_uniq', 'edge_map')
 
     def getAABB(self):
-        return (jnp.min(self.verts, axis=0), jnp.max(self.verts, axis=0))
+        return (jnp.min(self.verts, axis=1), jnp.max(self.verts, axis=1))
 
     def consts(self):
         return {k: getattr(self, k) for k in self.BIG_ATTRS}
@@ -275,10 +331,11 @@ class DMTetGeometry:
         loudly so truncation is never a silent wrong-gradient failure."""
         if not hasattr(self, '_tri_count_jit'):
             @jax.jit
-            def f(sdf, indices):  # indices as arg, not a 413-sized const
+            def f(sdf, indices_t):  # [4,Nt] as arg, not a 413-sized const
                 occ = sdf > 0
-                occ_f = occ[indices]
-                tetindex = (occ_f * jnp.array([1, 2, 4, 8])).sum(axis=-1)
+                occ_f = occ[indices_t].astype(jnp.int32)
+                tetindex = (occ_f
+                            * jnp.array([1, 2, 4, 8])[:, None]).sum(axis=0)
                 ntt = jnp.asarray(NUM_TRIANGLES_TABLE)
                 return jnp.sum(ntt[tetindex])
             self._tri_count_jit = f
@@ -291,12 +348,10 @@ class DMTetGeometry:
         verts, faces, face_gidx, tri_mask, _ = marching_tets(
             v_deformed, params['sdf'], self.indices, self.edge_uniq,
             self.edge_map, self.max_tris)
-        tet = face_gidx // 2
-        tri = face_gidx % 2
-        uv_idx = jnp.stack([tet * 4, tet * 4 + tri + 1, tet * 4 + tri + 2],
-                           axis=-1).astype(jnp.int32)
-        m = mesh_mod.Mesh(v_pos=verts, t_pos_idx=faces, v_tex=self.uvs,
-                          t_tex_idx=uv_idx, tri_mask=tri_mask,
+        v_tex, t_tex_idx = face_uvs(face_gidx, self.indices.shape[1],
+                                    self.uv_N)
+        m = mesh_mod.Mesh(v_pos=verts, t_pos_idx=faces, v_tex=v_tex,
+                          t_tex_idx=t_tex_idx, tri_mask=tri_mask,
                           material=material)
         m = mesh_mod.auto_normals(m)
         m = mesh_mod.compute_tangents(m)

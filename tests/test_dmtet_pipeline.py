@@ -16,8 +16,10 @@ def sphere_case(res=12, r=0.35):
     verts, idx = dmtet_mod.kuhn_tet_grid(res)
     sdf = r - np.linalg.norm(verts, axis=-1)  # >0 inside
     edge_uniq, edge_map = dmtet_mod._precompute_edge_tables(idx)
-    return (jnp.asarray(verts), jnp.asarray(sdf.astype(np.float32)),
-            jnp.asarray(idx), jnp.asarray(edge_uniq), jnp.asarray(edge_map))
+    # marching_tets takes the grid tables transposed ([k, huge] layouts)
+    return (jnp.asarray(verts.T), jnp.asarray(sdf.astype(np.float32)),
+            jnp.asarray(idx.T), jnp.asarray(edge_uniq.T),
+            jnp.asarray(edge_map.T))
 
 
 def test_marching_tets_sphere_watertight():
@@ -63,6 +65,24 @@ def test_marching_tets_overflow_signal():
     geo.max_tris = 8
     n, cap = geo.tri_count({'sdf': sdf, 'deform': jnp.zeros_like(v)})
     assert cap == 8 and n > 8
+
+
+def test_marching_tets_vertex_compaction():
+    """Compact vertex buffer: only crossing edges get slots; every masked
+    face references a slot below the live count."""
+    v, sdf, idx, eu, em = sphere_case()
+    verts, faces, _, mask, overflow = dmtet_mod.marching_tets(
+        v, sdf, idx, eu, em, 16 * 12 * 12)
+    assert not bool(overflow)
+    f = np.asarray(faces)[np.asarray(mask) > 0]
+    occ = np.asarray(sdf) > 0
+    eu_n = np.asarray(eu)
+    n_active = int((occ[eu_n[0]] != occ[eu_n[1]]).sum())
+    assert n_active <= verts.shape[0]
+    assert f.max() < n_active  # all faces index live compact slots
+    # every live slot is actually referenced by some face (V == crossing
+    # edges of the extracted surface)
+    assert len(np.unique(f)) == n_active
 
 
 def test_marching_tets_gradients():
@@ -115,13 +135,11 @@ def test_render_mesh_smoke_tiny():
     v, sdf, idx, eu, em = sphere_case(res=8)
     verts, faces, face_gidx, mask, _ = dmtet_mod.marching_tets(
         v, sdf, idx, eu, em, 2048)
-    uvs, _ = dmtet_mod.map_uv_tables(idx.shape[0])
-    tet = face_gidx // 2
-    tri = face_gidx % 2
-    uv_idx = jnp.stack([tet * 4, tet * 4 + tri + 1, tet * 4 + tri + 2],
-                       axis=-1).astype(jnp.int32)
-    m = mesh_mod.Mesh(v_pos=verts, t_pos_idx=faces, v_tex=jnp.asarray(uvs),
-                      t_tex_idx=uv_idx, tri_mask=mask)
+    n_tets = idx.shape[1]
+    uv_N = int(np.ceil(np.sqrt((n_tets * 2 + 1) // 2)))
+    v_tex, t_tex_idx = dmtet_mod.face_uvs(face_gidx, n_tets, uv_N)
+    m = mesh_mod.Mesh(v_pos=verts, t_pos_idx=faces, v_tex=v_tex,
+                      t_tex_idx=t_tex_idx, tri_mask=mask)
     m = mesh_mod.auto_normals(m)
     m = mesh_mod.compute_tangents(m)
     m.material = {
