@@ -5,15 +5,25 @@ current accelerator.  Prints ONE JSON line:
 
 Protocol (north star in BASELINE.json): train iters/sec at batch 1, 512^2,
 n_samples 4 on the bundled spot scene (fixed topology pass, the steady-state
-workload), plus shadow-ray Mrays/s.  vs_baseline is measured against an
-estimated reference A6000 figure of 3.3 iter/s for this workload (the
-reference publishes no numbers — see BASELINE.md; estimate derived from its
-~0.3 s/iter scale on similar configs) — update when a measured reference
-number exists.
+workload), plus the DMTet+hashgrid pass-1 rate and shadow-ray Mrays/s.
+vs_baseline is measured against an estimated reference A6000 figure of
+3.3 iter/s for this workload (the reference publishes no numbers — see
+BASELINE.md) — update when a measured reference number exists.
+
+Timing protocol: ONE host sync per iteration (float(loss)), matching the
+reference's per-iteration torch.cuda.synchronize (train.py:481-492), and the
+MEDIAN of per-iteration times.  Round 2 chained N dispatches and synced once;
+that protocol is unstable under the axon tunnel (measured 0.14-1.47 iter/s
+for the identical program across runs while per-iter-synced timing of the
+same step held at 0.70 s) — the tunnel sporadically stalls a deep dispatch
+queue, and a tail sync folds the stall into the average.  The median of
+synced iterations is robust to a single worker hiccup and includes the same
+per-iteration host round-trip the reference pays.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -64,17 +74,48 @@ def bench_tracer(n_rays=2 ** 21):
         return tracer.any_hit(o, rd, bvh, ray_chunk=65536)
 
     float(run(ro).sum())  # warm
-    t0 = time.time()
-    n_rep = 3
-    for i in range(n_rep):
+    times = []
+    for i in range(3):
+        t0 = time.time()
         float(run(ro + 1e-6 * i).sum())  # host sync each rep
-    dt = (time.time() - t0) / n_rep
-    return n_rays / dt / 1e6
+        times.append(time.time() - t0)
+    return n_rays / statistics.median(times) / 1e6
+
+
+def _median_iter_rate(step_fn, params, opt_state, target, key, iters):
+    """Median per-iteration rate with one host sync per iteration."""
+    # warm (compile + first run)
+    params, opt_state, l = step_fn(params, opt_state, target,
+                                   jnp.float32(0), key)
+    float(l)
+    times = []
+    for it in range(1, iters):
+        t0 = time.time()
+        params, opt_state, l = step_fn(params, opt_state, target,
+                                       jnp.float32(it),
+                                       jax.random.fold_in(key, it))
+        float(l)  # host sync: per-iteration, like the reference
+        times.append(time.time() - t0)
+    return 1.0 / statistics.median(times)
+
+
+def _spot_target(res, rng_seed=2, batch=1):
+    from nvdiffrecmc_tpu.ops import vecmath
+    rng = np.random.RandomState(rng_seed)
+    mvp = (vecmath.perspective(0.7854, 1, 0.1, 1000)
+           @ vecmath.translate(0, 0, -3)
+           @ vecmath.rotate_y(0.5))
+    return {
+        'img': jnp.asarray(rng.rand(batch, res, res, 4).astype(np.float32)),
+        'mvp': jnp.asarray(np.tile(mvp[None], (batch, 1, 1)).astype(np.float32)),
+        'campos': jnp.asarray(np.tile([[0, 0, 3]], (batch, 1)).astype(np.float32)),
+        'background': jnp.ones((batch, res, res, 3)) * 0.5,
+    }
 
 
 def bench_train(iters=12):
-    """Steady-state train step rate: spot fixed-topology, batch 1, 512^2,
-    n_samples 4 (the north-star protocol)."""
+    """Steady-state pass-2 train step rate: spot fixed topology, batch 1,
+    512^2, n_samples 4 (the north-star protocol)."""
     import train as train_mod
     from nvdiffrecmc_tpu.geometry import DLMesh
     from nvdiffrecmc_tpu.render import mesh as mesh_mod
@@ -125,65 +166,118 @@ def bench_train(iters=12):
         return optax.apply_updates(params, upd), opt_state, img_loss
 
     step = jax.jit(step, donate_argnums=(0, 1))
-
-    rng = np.random.RandomState(2)
-    from nvdiffrecmc_tpu.ops import vecmath
-    mvp = (vecmath.perspective(0.7854, 1, 0.1, 1000)
-           @ vecmath.translate(0, 0, -3)
-           @ vecmath.rotate_y(0.5))
-    target = {
-        'img': jnp.asarray(rng.rand(1, res, res, 4).astype(np.float32)),
-        'mvp': jnp.asarray(mvp[None].astype(np.float32)),
-        'campos': jnp.asarray(np.array([[0, 0, 3]], np.float32)),
-        'background': jnp.ones((1, res, res, 3)) * 0.5,
-    }
-
-    key = jax.random.PRNGKey(0)
-    # warm (compile)
-    params, opt_state, l = step(params, opt_state, target, jnp.float32(0), key)
-    float(l)
-    # steady-state protocol: iterations are chained through donated params
-    # (strictly sequential on device); sync once at the end.  A per-iter
-    # host sync would add the ~72 ms tunnel round-trip to every iteration —
-    # real training only syncs at save intervals.
-    t0 = time.time()
-    for it in range(1, iters):
-        params, opt_state, l = step(params, opt_state, target,
-                                    jnp.float32(it), jax.random.fold_in(key, it))
-    float(l)  # one host sync for the whole chain
-    dt = (time.time() - t0) / (iters - 1)
-    return 1.0 / dt
+    target = _spot_target(res)
+    return _median_iter_rate(step, params, opt_state, target,
+                             jax.random.PRNGKey(0), iters)
 
 
-def profile_step(trace_dir='/tmp/nvdiffrecmc_tpu_trace'):
+def bench_pass1(iters=8):
+    """Pass-1 (DMTet + hashgrid MLP texture) train step rate at 512^2,
+    batch 1, n_samples 4 on a bob-like setup (VERDICT r2 item 5): the other
+    half of every real training run, exercising marching tets + the hash
+    encoding + per-iteration BVH rebuild."""
+    import train as train_mod
+    from nvdiffrecmc_tpu.geometry import DMTetGeometry
+    from nvdiffrecmc_tpu.render import light as light_mod
+    from nvdiffrecmc_tpu.ops import envshade
+    import optax
+
+    res = 512
+    n_samples = 4
+    FLAGS = train_mod.parse_flags([])
+    FLAGS.update(dict(train_res=[res, res], n_samples=n_samples, batch=1,
+                      iter=iters, layers=1, spp=1, denoiser='bilateral',
+                      dmtet_grid=64, mesh_scale=2.1))
+
+    geometry = DMTetGeometry(64, 2.1, FLAGS)
+    mat_params, mat_static = train_mod.initial_guess_material(
+        geometry, True, FLAGS)
+    mat_static['no_perturbed_nrm'] = True
+    light_base = light_mod.create_trainable_env_rnd(256, 0.0, 0.5)
+    image_loss_fn = train_mod.createLoss(FLAGS)
+    perms = envshade.make_perms(n_samples)
+    geo_consts = geometry.consts() if hasattr(geometry, 'consts') else None
+
+    opt = optax.adam(1e-2)
+    params = {'geo': geometry.parameters(), 'mat': mat_params,
+              'light': light_base}
+    opt_state = opt.init(params)
+
+    def step(params, opt_state, target, it, key, gconsts):
+        import contextlib
+        ctx = (geometry.bind_consts(gconsts) if gconsts is not None
+               else contextlib.nullcontext())
+        with ctx:
+            tables = light_mod.update_pdf(params['light'])
+            lgt = {'base': params['light'], 'pdf': tables.pdf,
+                   'rows': tables.rows, 'cols': tables.cols}
+            tgt = dict(target, resolution=(res, res), spp=1)
+
+            def loss_fn(p):
+                lgt_p = dict(lgt, base=p['light'])
+                material = train_mod.make_material(p['mat'], mat_static)
+                img_loss, reg_loss = geometry.tick(
+                    p['geo'], material, lgt_p, tgt, image_loss_fn, it, FLAGS,
+                    jnp.float32(1.0), perms, key, rnd_seed=it.astype(jnp.int32))
+                return img_loss + reg_loss, img_loss
+
+            grads, img_loss = jax.grad(loss_fn, has_aux=True)(params)
+            upd, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, upd), opt_state, img_loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+
+    def step_bound(params, opt_state, target, it, key):
+        return jstep(params, opt_state, target, it, key, geo_consts)
+
+    target = _spot_target(res, rng_seed=3)
+    return _median_iter_rate(step_bound, params, opt_state, target,
+                             jax.random.PRNGKey(1), iters)
+
+
+def profile_step(trace_dir='/tmp/nvdiffrecmc_tpu_trace', which='pass2'):
     """Capture a jax.profiler trace of a few steady-state train steps.
     View with Perfetto (ui.perfetto.dev) or tensorboard --logdir.
-    Usage: python bench.py --profile [trace_dir]."""
+    Usage: python bench.py --profile [trace_dir] | --profile-pass1 [dir]."""
+    fn = bench_pass1 if which == 'pass1' else bench_train
     # warm up compile outside the trace window
-    bench_train(iters=3)
+    fn(iters=3)
     with jax.profiler.trace(trace_dir):
-        bench_train(iters=4)
+        fn(iters=4)
     print("trace written to", trace_dir)
 
 
+def _note(msg, t0):
+    print('[bench +%5.0fs] %s' % (time.time() - t0, msg),
+          file=sys.stderr, flush=True)
+
+
 def main():
-    if '--profile' in sys.argv:
-        idx = sys.argv.index('--profile')
-        args = sys.argv[idx + 1:idx + 2]
-        profile_step(*args)
-        return
+    for flag, which in (('--profile', 'pass2'), ('--profile-pass1', 'pass1')):
+        if flag in sys.argv:
+            idx = sys.argv.index(flag)
+            args = sys.argv[idx + 1:idx + 2]
+            profile_step(*args, which=which)
+            return
     t_start = time.time()
+    _note('tracer bench...', t_start)
     mrays = bench_tracer()
+    _note('tracer %.2f Mrays/s; pass-2 train bench...' % mrays, t_start)
     iters_per_sec = bench_train()
+    _note('pass-2 %.3f iter/s; pass-1 train bench...' % iters_per_sec, t_start)
+    pass1_rate = bench_pass1()
+    _note('pass-1 %.3f iter/s' % pass1_rate, t_start)
     out = {
         "metric": "train_iters_per_sec_spot_b1_512_n4",
         "value": round(iters_per_sec, 4),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec / REF_A6000_ITERS_PER_SEC_ESTIMATE, 4),
         "extra": {
+            "pass1_dmtet_hashgrid_iters_per_sec": round(pass1_rate, 4),
             "shadow_Mrays_per_sec": round(mrays, 2),
             "backend": jax.default_backend(),
             "bench_wall_s": round(time.time() - t_start, 1),
+            "timing": "median per-iter, one host sync per iter (ref protocol)",
             "baseline_note": "vs estimated A6000 3.3 iter/s (reference publishes no numbers)",
         },
     }

@@ -378,6 +378,25 @@ def _default_backend():
 # stratum count, fall back to the O(P)-memory lax.scan path.
 _FUSED_MAX_N2 = 256
 
+_LOGGED_BACKENDS = set()
+
+
+def _log_backend(eff_backend, n_samples_x, bin_rays, shape):
+    """One visible line per traced shade config so every perf/quality number
+    is attributable to the pipeline that actually ran (a silent fallback off
+    the fused path is a 10x perf cliff).  Runs at trace time — once per
+    compiled configuration, not per step."""
+    n2 = n_samples_x * n_samples_x
+    resolved = eff_backend
+    if eff_backend == 'fused' and n2 > _FUSED_MAX_N2:
+        resolved = 'pallas (n2=%d > fused max %d)' % (n2, _FUSED_MAX_N2)
+    key = (resolved, n2, bin_rays, tuple(shape))
+    if key not in _LOGGED_BACKENDS:
+        _LOGGED_BACKENDS.add(key)
+        print('env_shade: backend=%s n2=%d bin_rays=%s shape=%s platform=%s'
+              % (resolved, n2, bin_rays, tuple(shape), jax.default_backend()),
+              flush=True)
+
 
 @partial(jax.jit, static_argnames=('BSDF', 'n_samples_x', 'ray_chunk',
                                    'k_pairs', 'backend', 'bin_rays'))
@@ -392,6 +411,7 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
     perms [NPERM, n^2] int32; rnd_seed scalar int32; shadow_scale scalar.
     Returns (diffuse_accum, specular_accum) [B,H,W,3], demodulated."""
     eff_backend = backend or _default_backend()
+    _log_backend(eff_backend, n_samples_x, bin_rays, mask.shape)
     if (eff_backend == 'fused'
             and n_samples_x * n_samples_x <= _FUSED_MAX_N2):
         from .pallas_shade import env_shade_fused

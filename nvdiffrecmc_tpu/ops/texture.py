@@ -78,23 +78,83 @@ def _wrap_uv(u, n, mode):
     return jnp.clip(u, 0, n - 1)
 
 
-def bilinear_sample(tex, uv, boundary_mode='wrap'):
-    """Sample [N,H,W,C] texture at uv [N,h,w,2] in [0,1] texture coords.
+def _tap_indices(x, y, h, w, boundary_mode):
+    """Bilinear tap corner indices + fractional weights at per-pixel level
+    resolution (h, w) — shared by forward and the patch-scatter backward so
+    both sides compute bit-identical index math."""
+    xs = x * jnp.asarray(w, jnp.float32) - 0.5
+    ys = y * jnp.asarray(h, jnp.float32) - 0.5
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    fx = (xs - x0f)[..., None]
+    fy = (ys - y0f)[..., None]
+    x0 = _wrap_uv(x0f.astype(jnp.int32), w, boundary_mode)
+    y0 = _wrap_uv(y0f.astype(jnp.int32), h, boundary_mode)
+    x1 = _wrap_uv(x0f.astype(jnp.int32) + 1, w, boundary_mode)
+    y1 = _wrap_uv(y0f.astype(jnp.int32) + 1, h, boundary_mode)
+    return x0, x1, y0, y1, fx, fy
 
-    Matches dr.texture(filter_mode='linear'): texel centers at
-    (i+0.5)/W, boundary wrap or clamp."""
+
+# ---------------------------------------------------------------------------
+# Patch-scatter adjoint machinery.
+#
+# The VJP of a bilinear tap w.r.t. the texture is 4 scatter-adds (one per
+# corner).  XLA TPU scatter is effectively serial (~70-95 ns/row measured on
+# v5e), so per-row cost dominates: 8 taps/pixel at 512^2 = 2.1M rows = ~150
+# ms/train-step.  But the 4 corners of one pixel's tap form a 2x2 patch at
+# base (y0, x0): scatter ONE row of 4C channels [g00|g01|g10|g11] at i00,
+# then redistribute the g01/g10/g11 groups with dense jnp.roll shifts on the
+# 2D level grid (+1 in x / y / both).  roll IS the wrap-mode index map
+# (x1 = (x0+1) mod w); clamp mode folds the rolled-out border line back onto
+# the last row/col (x1 = min(x0+1, w-1) keeps border contributions in
+# place).  4x fewer scatter rows, and the rolls are bandwidth-cheap.
+# ---------------------------------------------------------------------------
+
+def _patch_rows(g, fx, fy, tap, boundary_mode):
+    """[...,4C] corner-group row for the patch scatter: order g00|g01|g10|g11.
+
+    The group positions are decoded by +1 rolls, which assumes x1 = x0+1 /
+    y1 = y0+1 (mod size).  Wrap satisfies that except at size 1, where the
+    roll is an identity onto the right texel anyway.  Clamp violates it on
+    both clamped sides (x1 == x0 there), so merge the co-located corner
+    groups into the lower group before scattering."""
+    g00 = g * (1 - fy) * (1 - fx)
+    g01 = g * (1 - fy) * fx
+    g10 = g * fy * (1 - fx)
+    g11 = g * fy * fx
+    if boundary_mode != 'wrap':
+        x0, x1, y0, y1 = tap
+        mx = (x1 == x0)[..., None].astype(g.dtype)
+        my = (y1 == y0)[..., None].astype(g.dtype)
+        g00 = g00 + g01 * mx + g10 * my + g11 * mx * my
+        g01, g10, g11 = (g01 * (1 - mx) + g11 * (1 - mx) * my,
+                         g10 * (1 - my) + g11 * mx * (1 - my),
+                         g11 * (1 - mx) * (1 - my))
+    return jnp.concatenate([g00, g01, g10, g11], axis=-1)
+
+
+def _unpatch_level(v):
+    """Combine the 4 corner groups of a [N,h,w,4C] patch grid into [N,h,w,C]
+    via +1 rolls (the exact inverse of the i00-anchored patch encoding)."""
+    C = v.shape[-1] // 4
+    return (v[..., :C]
+            + jnp.roll(v[..., C:2 * C], 1, axis=2)
+            + jnp.roll(v[..., 2 * C:3 * C], 1, axis=1)
+            + jnp.roll(v[..., 3 * C:], (1, 1), axis=(1, 2)))
+
+
+def _duv_terms(dout, a, b, c, d, fx, fy, h, w):
+    """uv cotangent of one bilinear tap (chain through fx = x*w-0.5 - floor)."""
+    gx = jnp.sum(dout * ((b - a) * (1 - fy) + (d - c) * fy), axis=-1)
+    gy = jnp.sum(dout * ((c - a) * (1 - fx) + (d - b) * fx), axis=-1)
+    return gx * jnp.asarray(w, jnp.float32), gy * jnp.asarray(h, jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bilinear_patch(boundary_mode, tex, uv):
     n, H, W, C = tex.shape
-    x = uv[..., 0] * W - 0.5
-    y = uv[..., 1] * H - 0.5
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
-    fx = (x - x0f)[..., None]
-    fy = (y - y0f)[..., None]
-    x0 = _wrap_uv(x0f.astype(jnp.int32), W, boundary_mode)
-    y0 = _wrap_uv(y0f.astype(jnp.int32), H, boundary_mode)
-    x1 = _wrap_uv(x0f.astype(jnp.int32) + 1, W, boundary_mode)
-    y1 = _wrap_uv(y0f.astype(jnp.int32) + 1, H, boundary_mode)
-
+    x0, x1, y0, y1, fx, fy = _tap_indices(uv[..., 0], uv[..., 1], H, W,
+                                          boundary_mode)
     bidx = jnp.arange(n)[:, None, None]
     a = tex[bidx, y0, x0]
     b = tex[bidx, y0, x1]
@@ -102,6 +162,44 @@ def bilinear_sample(tex, uv, boundary_mode='wrap'):
     d = tex[bidx, y1, x1]
     return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
             + c * fy * (1 - fx) + d * fy * fx)
+
+
+def _bilinear_patch_fwd(boundary_mode, tex, uv):
+    return _bilinear_patch(boundary_mode, tex, uv), (tex, uv)
+
+
+def _bilinear_patch_bwd(boundary_mode, res, dout):
+    tex, uv = res
+    n, H, W, C = tex.shape
+    x0, x1, y0, y1, fx, fy = _tap_indices(uv[..., 0], uv[..., 1], H, W,
+                                          boundary_mode)
+    bidx = jnp.arange(n)[:, None, None]
+    a = tex[bidx, y0, x0]
+    b = tex[bidx, y0, x1]
+    c = tex[bidx, y1, x0]
+    d = tex[bidx, y1, x1]
+    gx, gy = _duv_terms(dout, a, b, c, d, fx, fy, H, W)
+    d_uv = jnp.stack([gx, gy], axis=-1)
+
+    rows = _patch_rows(dout, fx, fy, (x0, x1, y0, y1), boundary_mode)
+    tex_b = jnp.broadcast_to(bidx, x0.shape)
+    seg = (tex_b * (H * W) + y0 * W + x0).reshape(-1)
+    s = jnp.zeros((n * H * W, 4 * C), dout.dtype)
+    s = s.at[seg].add(rows.reshape(-1, 4 * C))
+    d_tex = _unpatch_level(s.reshape(n, H, W, 4 * C))
+    return d_tex, d_uv
+
+
+_bilinear_patch.defvjp(_bilinear_patch_fwd, _bilinear_patch_bwd)
+
+
+def bilinear_sample(tex, uv, boundary_mode='wrap'):
+    """Sample [N,H,W,C] texture at uv [N,h,w,2] in [0,1] texture coords.
+
+    Matches dr.texture(filter_mode='linear'): texel centers at
+    (i+0.5)/W, boundary wrap or clamp.  Backward uses the patch-scatter
+    adjoint (one 4C-row scatter + rolls instead of 4 row scatters)."""
+    return _bilinear_patch(boundary_mode, tex, uv)
 
 
 def _pack_mips(mips):
@@ -114,24 +212,9 @@ def _pack_mips(mips):
     return flat, sizes, offsets
 
 
-def _bilinear_gather(flat, bidx, off, h, w, x, y, boundary_mode):
-    """Bilinear tap into a packed mip level with per-pixel resolution h,w."""
-    xs = x * w.astype(jnp.float32) - 0.5
-    ys = y * h.astype(jnp.float32) - 0.5
-    x0f = jnp.floor(xs)
-    y0f = jnp.floor(ys)
-    fx = (xs - x0f)[..., None]
-    fy = (ys - y0f)[..., None]
-    if boundary_mode == 'wrap':
-        x0 = jnp.mod(x0f.astype(jnp.int32), w)
-        x1 = jnp.mod(x0f.astype(jnp.int32) + 1, w)
-        y0 = jnp.mod(y0f.astype(jnp.int32), h)
-        y1 = jnp.mod(y0f.astype(jnp.int32) + 1, h)
-    else:
-        x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
-        x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
-        y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
-        y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+def _level_corners(flat, bidx, off, h, w, x, y, boundary_mode):
+    """Gather the 4 bilinear corners of a packed-pyramid level tap."""
+    x0, x1, y0, y1, fx, fy = _tap_indices(x, y, h, w, boundary_mode)
     i00 = off + y0 * w + x0
     i01 = off + y0 * w + x1
     i10 = off + y1 * w + x0
@@ -140,8 +223,103 @@ def _bilinear_gather(flat, bidx, off, h, w, x, y, boundary_mode):
     b = flat[bidx, i01]
     c = flat[bidx, i10]
     d = flat[bidx, i11]
+    return a, b, c, d, fx, fy, (i00, (x0, x1, y0, y1))
+
+
+def _bilinear_gather(flat, bidx, off, h, w, x, y, boundary_mode):
+    """Bilinear tap into a packed mip level with per-pixel resolution h,w."""
+    a, b, c, d, fx, fy, _ = _level_corners(flat, bidx, off, h, w, x, y,
+                                           boundary_mode)
     return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
             + c * fy * (1 - fx) + d * fy * fx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _trilinear_packed(sizes, offsets, boundary_mode, flat, uv, l0f, l1f,
+                      frac):
+    """Trilinear sample of a packed mip pyramid [N,L,C].
+
+    sizes/offsets are static tuples; l0f/l1f are the (stop-gradient) mip
+    levels as float arrays, frac the level blend.  Backward produces the
+    texture cotangent with the patch-scatter adjoint: one 4C-channel row
+    scatter per level tap + per-level rolls, instead of 8 row scatter-adds
+    (the reference does this adjoint with atomics in
+    /root/reference/render/renderutils/c_src/texture.cu's MipGrad path;
+    serial TPU scatter rows are the analogous cost here)."""
+    out, _ = _trilinear_impl(sizes, offsets, boundary_mode, flat, uv,
+                             l0f, l1f, frac)
+    return out
+
+
+def _trilinear_impl(sizes, offsets, boundary_mode, flat, uv, l0f, l1f, frac):
+    n = flat.shape[0]
+    sizes_j = jnp.asarray(np.asarray(sizes, np.int32))
+    offsets_j = jnp.asarray(np.asarray(offsets, np.int32))
+    bidx = jnp.arange(n)[:, None, None]
+    x, y = uv[..., 0], uv[..., 1]
+    taps = []
+    for lf in (l0f, l1f):
+        lvl = lf.astype(jnp.int32)
+        h = sizes_j[lvl, 0]
+        w = sizes_j[lvl, 1]
+        off = offsets_j[lvl]
+        taps.append(_level_corners(flat, bidx, off, h, w, x, y,
+                                   boundary_mode))
+    def blend(t):
+        a, b, c, d, fx, fy = t[:6]
+        return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+                + c * fy * (1 - fx) + d * fy * fx)
+    out = blend(taps[0]) * (1 - frac) + blend(taps[1]) * frac
+    return out, taps
+
+
+def _trilinear_fwd(sizes, offsets, boundary_mode, flat, uv, l0f, l1f, frac):
+    out, _ = _trilinear_impl(sizes, offsets, boundary_mode, flat, uv,
+                             l0f, l1f, frac)
+    return out, (flat, uv, l0f, l1f, frac)
+
+
+def _trilinear_bwd(sizes, offsets, boundary_mode, res, dout):
+    flat, uv, l0f, l1f, frac = res
+    n, L, C = flat.shape
+    # recompute index math + corner gathers (gathers are ~20x cheaper than
+    # scatters on TPU; residual-storing them would cost more HBM traffic at
+    # nerf scale than this recompute)
+    _, taps = _trilinear_impl(sizes, offsets, boundary_mode, flat, uv,
+                              l0f, l1f, frac)
+    sizes_j = jnp.asarray(np.asarray(sizes, np.int32))
+    bidx = jnp.arange(n)[:, None, None]
+    d_uv_x = 0.0
+    d_uv_y = 0.0
+    idx_all, rows_all = [], []
+    for tap, lf, wl in ((taps[0], l0f, 1 - frac), (taps[1], l1f, frac)):
+        a, b, c, d, fx, fy, (i00, corners) = tap
+        lvl = lf.astype(jnp.int32)
+        h = sizes_j[lvl, 0]
+        w = sizes_j[lvl, 1]
+        g = dout * wl
+        gx, gy = _duv_terms(g, a, b, c, d, fx, fy, h, w)
+        d_uv_x = d_uv_x + gx
+        d_uv_y = d_uv_y + gy
+        tex_b = jnp.broadcast_to(bidx, i00.shape)
+        idx_all.append((tex_b * L + i00).reshape(-1))
+        rows_all.append(_patch_rows(g, fx, fy, corners, boundary_mode)
+                        .reshape(-1, 4 * C))
+    s = jnp.zeros((n * L, 4 * C), dout.dtype)
+    s = s.at[jnp.concatenate(idx_all)].add(jnp.concatenate(rows_all, axis=0))
+    s = s.reshape(n, L, 4 * C)
+    parts = []
+    for li, (h, w) in enumerate(sizes):
+        off = offsets[li]
+        v = s[:, off:off + h * w].reshape(n, h, w, 4 * C)
+        parts.append(_unpatch_level(v).reshape(n, h * w, C))
+    d_flat = jnp.concatenate(parts, axis=1)
+    d_uv = jnp.stack([d_uv_x, d_uv_y], axis=-1)
+    return (d_flat, d_uv, jnp.zeros_like(l0f), jnp.zeros_like(l1f),
+            jnp.zeros_like(frac))
+
+
+_trilinear_packed.defvjp(_trilinear_fwd, _trilinear_bwd)
 
 
 def texture_sample(mips, uv, uv_da=None, filter_mode='linear-mipmap-linear',
@@ -169,21 +347,11 @@ def texture_sample(mips, uv, uv_da=None, filter_mode='linear-mipmap-linear',
     frac = (lod - l0.astype(jnp.float32))[..., None]
 
     flat, sizes, offsets = _pack_mips(mips)
-    sizes_j = jnp.asarray(sizes)
-    offsets_j = jnp.asarray(offsets)
-
-    bidx = jnp.arange(n)[:, None, None]
-    x, y = uv[..., 0], uv[..., 1]
-
-    def level_tap(lvl):
-        h = sizes_j[lvl, 0]
-        w = sizes_j[lvl, 1]
-        off = offsets_j[lvl]
-        return _bilinear_gather(flat, bidx, off, h, w, x, y, boundary_mode)
-
-    c0 = level_tap(l0)
-    c1 = level_tap(l1)
-    return c0 * (1 - frac) + c1 * frac
+    return _trilinear_packed(tuple(map(tuple, sizes.tolist())),
+                             tuple(int(o) for o in offsets),
+                             boundary_mode, flat, uv,
+                             l0.astype(jnp.float32), l1.astype(jnp.float32),
+                             frac)
 
 
 def texture_sample_multi(mips_list, uv, uv_da=None,
