@@ -18,6 +18,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nvdiffrecmc_tpu.ops import pallas_scatter
+
+
+def _scatter_rows(idx, rows, out_rows):
+    """Scatter-add [M, K] rows at idx into a fresh [out_rows, K] array.
+
+    TPU: binned Pallas kernel in the transposed [K, M] convention (XLA TPU
+    scatter is serial per row, ~95 ns; the kernel is ~5x faster at the
+    texture-adjoint scale).  CPU: XLA scatter twin."""
+    dt = rows.dtype
+    out_t = pallas_scatter.scatter_add_t(
+        idx, rows.astype(jnp.float32).T, out_rows)
+    return out_t.T.astype(dt)
+
 
 # ---------------------------------------------------------------------------
 # Mip construction: fwd = 2x2 avg pool, bwd = bilinear-upsampled gradient/4
@@ -184,8 +198,7 @@ def _bilinear_patch_bwd(boundary_mode, res, dout):
     rows = _patch_rows(dout, fx, fy, (x0, x1, y0, y1), boundary_mode)
     tex_b = jnp.broadcast_to(bidx, x0.shape)
     seg = (tex_b * (H * W) + y0 * W + x0).reshape(-1)
-    s = jnp.zeros((n * H * W, 4 * C), dout.dtype)
-    s = s.at[seg].add(rows.reshape(-1, 4 * C))
+    s = _scatter_rows(seg, rows.reshape(-1, 4 * C), n * H * W)
     d_tex = _unpatch_level(s.reshape(n, H, W, 4 * C))
     return d_tex, d_uv
 
@@ -305,8 +318,8 @@ def _trilinear_bwd(sizes, offsets, boundary_mode, res, dout):
         idx_all.append((tex_b * L + i00).reshape(-1))
         rows_all.append(_patch_rows(g, fx, fy, corners, boundary_mode)
                         .reshape(-1, 4 * C))
-    s = jnp.zeros((n * L, 4 * C), dout.dtype)
-    s = s.at[jnp.concatenate(idx_all)].add(jnp.concatenate(rows_all, axis=0))
+    s = _scatter_rows(jnp.concatenate(idx_all),
+                      jnp.concatenate(rows_all, axis=0), n * L)
     s = s.reshape(n, L, 4 * C)
     parts = []
     for li, (h, w) in enumerate(sizes):

@@ -24,11 +24,15 @@ from ..ops import mesh_ops
 from . import texture as texture_mod
 
 
-def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
-          gb_tangent, gb_texc, gb_texc_deriv, view_pos, lgt, material, bvh,
-          bsdf, denoiser_sigma, shadow_scale, rnd_seed, perms, key):
-    """Pixel shader (reference render.py:30-164).  Returns a dict of aux
-    buffers, each [B,H,W,4] with alpha in the last channel."""
+def shade_pre(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
+              gb_tangent, gb_texc, gb_texc_deriv, view_pos, material, bsdf,
+              key):
+    """Seed-independent half of the pixel shader (reference render.py:30-99):
+    texture taps, jitter smoothness gradients, shading-normal preparation.
+    Returns the `pre` dict consumed by shade_mc / shade_post — splitting here
+    lets eval rasterize once and re-shade K times with fresh MC seeds
+    (validate runs n_samples=32 as K seed-split passes under the worker
+    watchdog; everything in `pre` is identical across those passes)."""
     B, H, W = gb_depth.shape[:3]
     kj, km, kn = jax.random.split(key, 3)
 
@@ -99,27 +103,59 @@ def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
         gb_pos, view_pos, perturbed_nrm, gb_normal, gb_tangent,
         gb_geometric_normal, two_sided_shading=True, opengl=True)
 
-    # --- evaluate BSDF ---
-    bsdf = material['bsdf'] if bsdf is None else bsdf
-    diffuse_accum = specular_accum = None
+    return {
+        'rast_id': rast[..., -1],
+        'gb_depth': gb_depth,
+        'gb_pos': gb_pos,
+        'gb_geometric_normal': gb_geometric_normal,
+        'gb_normal': gb_normal,
+        'gb_tangent': gb_tangent,
+        'gb_normal_shaded': gb_normal_shaded,
+        'view_pos': view_pos,
+        'kd': kd, 'ks': ks, 'alpha': alpha,
+        'kd_grad': kd_grad, 'ks_grad': ks_grad, 'nrm_grad': nrm_grad,
+        'perturbed_nrm': perturbed_nrm,
+        'perturbed_nrm_grad': perturbed_nrm_grad,
+    }
+
+
+def shade_mc(FLAGS, pre, lgt, bvh, bsdf, shadow_scale, rnd_seed, perms):
+    """Seed-dependent MC env shading on a prepared G-buffer (the
+    ou.optix_env_shade launch of reference render.py:110-116).  Returns
+    (diffuse_accum, specular_accum) or (None, None) for non-MC bsdf modes."""
+    if bsdf not in ('pbr', 'diffuse', 'white'):
+        return None, None
+    kd, ks = pre['kd'], pre['ks']
+    gb_pos = pre['gb_pos']
+    gb_normal_shaded = pre['gb_normal_shaded']
+    kd_shade = jnp.ones_like(kd) if bsdf == 'white' else kd
+    ro = gb_pos + gb_normal_shaded * 0.001
+    ibsdf = ['pbr', 'diffuse', 'white'].index(bsdf)
+    view_pos_b = jnp.broadcast_to(pre['view_pos'], gb_pos.shape)
+    if FLAGS.get('decorrelated', False):
+        return envshade.env_shade_decorrelated(
+            pre['rast_id'], ro, gb_pos, gb_normal_shaded, view_pos_b,
+            kd_shade, ks, lgt['base'], lgt['pdf'], lgt['rows'],
+            lgt['cols'], bvh, perms, rnd_seed, rnd_seed + 0x77777,
+            shadow_scale, BSDF=ibsdf, n_samples_x=FLAGS['n_samples'])
+    return envshade.env_shade(
+        pre['rast_id'], ro, gb_pos, gb_normal_shaded, view_pos_b,
+        kd_shade, ks, lgt['base'], lgt['pdf'], lgt['rows'],
+        lgt['cols'], bvh, perms, rnd_seed, shadow_scale, BSDF=ibsdf,
+        n_samples_x=FLAGS['n_samples'])
+
+
+def shade_post(FLAGS, pre, diffuse_accum, specular_accum, bsdf,
+               denoiser_sigma):
+    """Combine the MC estimate with the prepared G-buffer into the aux
+    buffer dict (reference render.py:118-163), each [B,H,W,4] with alpha
+    in the last channel.  Linear in (diffuse_accum, specular_accum) when
+    denoising is off, which is what licenses eval's mean-of-K-seeds."""
+    kd, ks, alpha = pre['kd'], pre['ks'], pre['alpha']
+    gb_depth = pre['gb_depth']
+    gb_normal_shaded = pre['gb_normal_shaded']
     if bsdf in ('pbr', 'diffuse', 'white'):
         kd_shade = jnp.ones_like(kd) if bsdf == 'white' else kd
-        ro = gb_pos + gb_normal_shaded * 0.001
-        ibsdf = ['pbr', 'diffuse', 'white'].index(bsdf)
-        view_pos_b = jnp.broadcast_to(view_pos, gb_pos.shape)
-        if FLAGS.get('decorrelated', False):
-            diffuse_accum, specular_accum = envshade.env_shade_decorrelated(
-                rast[..., -1], ro, gb_pos, gb_normal_shaded, view_pos_b,
-                kd_shade, ks, lgt['base'], lgt['pdf'], lgt['rows'],
-                lgt['cols'], bvh, perms, rnd_seed, rnd_seed + 0x77777,
-                shadow_scale, BSDF=ibsdf, n_samples_x=FLAGS['n_samples'])
-        else:
-            diffuse_accum, specular_accum = envshade.env_shade(
-                rast[..., -1], ro, gb_pos, gb_normal_shaded, view_pos_b,
-                kd_shade, ks, lgt['base'], lgt['pdf'], lgt['rows'],
-                lgt['cols'], bvh, perms, rnd_seed, shadow_scale, BSDF=ibsdf,
-                n_samples_x=FLAGS['n_samples'])
-
         if denoiser_sigma is not None and FLAGS.get('denoiser_demodulate', True):
             # one fused launch for both buffers (they share guide planes)
             from ..ops.pallas_denoise import bilateral_denoiser_pair
@@ -139,7 +175,7 @@ def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
     elif bsdf == 'normal':
         shaded_col = (gb_normal_shaded + 1.0) * 0.5
     elif bsdf == 'tangent':
-        shaded_col = (gb_tangent + 1.0) * 0.5
+        shaded_col = (pre['gb_tangent'] + 1.0) * 0.5
     elif bsdf == 'kd':
         shaded_col = kd
     elif bsdf == 'ks':
@@ -151,30 +187,44 @@ def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
         'shaded': jnp.concatenate((shaded_col, alpha), axis=-1),
         'z_grad': jnp.concatenate((gb_depth, jnp.zeros_like(alpha), alpha), -1),
         'normal': jnp.concatenate((gb_normal_shaded, alpha), -1),
-        'geometric_normal': jnp.concatenate((gb_geometric_normal, alpha), -1),
+        'geometric_normal': jnp.concatenate(
+            (pre['gb_geometric_normal'], alpha), -1),
         'kd': jnp.concatenate((kd, alpha), -1),
         'ks': jnp.concatenate((ks, alpha), -1),
-        'kd_grad': jnp.concatenate((kd_grad, alpha), -1),
-        'ks_grad': jnp.concatenate((ks_grad, alpha), -1),
-        'normal_grad': jnp.concatenate((nrm_grad, alpha), -1),
+        'kd_grad': jnp.concatenate((pre['kd_grad'], alpha), -1),
+        'ks_grad': jnp.concatenate((pre['ks_grad'], alpha), -1),
+        'normal_grad': jnp.concatenate((pre['nrm_grad'], alpha), -1),
     }
     if diffuse_accum is not None:
         buffers['diffuse_light'] = jnp.concatenate((diffuse_accum, alpha), -1)
         buffers['specular_light'] = jnp.concatenate((specular_accum, alpha), -1)
-    if perturbed_nrm is not None:
-        buffers['perturbed_nrm'] = jnp.concatenate((perturbed_nrm, alpha), -1)
+    if pre['perturbed_nrm'] is not None:
+        buffers['perturbed_nrm'] = jnp.concatenate(
+            (pre['perturbed_nrm'], alpha), -1)
         buffers['perturbed_nrm_grad'] = jnp.concatenate(
-            (perturbed_nrm_grad, alpha), -1)
+            (pre['perturbed_nrm_grad'], alpha), -1)
     return buffers
 
 
-def render_layer(FLAGS, v_pos_clip, rast, rast_deriv, mesh, view_pos, lgt,
-                 resolution, spp, msaa, bvh, bsdf, denoiser_sigma,
-                 shadow_scale, rnd_seed, perms, key):
-    """G-buffer interpolation + shading for one depth layer
-    (reference render.py:172-253)."""
-    full_res = [resolution[0] * spp, resolution[1] * spp]
+def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
+          gb_tangent, gb_texc, gb_texc_deriv, view_pos, lgt, material, bvh,
+          bsdf, denoiser_sigma, shadow_scale, rnd_seed, perms, key):
+    """Pixel shader (reference render.py:30-164): pre -> MC -> post."""
+    bsdf = material['bsdf'] if bsdf is None else bsdf
+    pre = shade_pre(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal,
+                    gb_normal, gb_tangent, gb_texc, gb_texc_deriv, view_pos,
+                    material, bsdf, key)
+    diffuse_accum, specular_accum = shade_mc(FLAGS, pre, lgt, bvh, bsdf,
+                                             shadow_scale, rnd_seed, perms)
+    return shade_post(FLAGS, pre, diffuse_accum, specular_accum, bsdf,
+                      denoiser_sigma)
 
+
+def gbuffer_layer(v_pos_clip, rast, rast_deriv, mesh, resolution, spp, msaa):
+    """Interpolate one depth layer's G-buffer (reference render.py:189-234).
+    Returns (rast_out_s, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
+    gb_tangent, gb_texc, gb_texc_deriv) — everything `shade` consumes that
+    depends only on geometry + camera, not materials/light/seed."""
     if spp > 1 and msaa:
         rast_out_s = scale_img_nhwc(rast, resolution, mag='nearest', min='nearest')
         rast_out_deriv_s = scale_img_nhwc(rast_deriv, resolution,
