@@ -18,7 +18,7 @@ import numpy as np
 
 from ..ops import vecmath
 from .dataset import Dataset
-from .dataset_nerf import _srgb_to_rgb_np
+from .dataset_nerf import _decode_image
 
 _IMG_EXTS = ('png', 'jpg', 'jpeg')
 
@@ -29,12 +29,7 @@ def _list_images(d):
 
 
 def _read_ldr(fn):
-    import imageio.v2 as imageio
-    img = np.asarray(imageio.imread(fn))
-    if img.dtype != np.float32:
-        img = img.astype(np.float32) / 255.0
-        img[..., 0:3] = _srgb_to_rgb_np(img[..., 0:3])
-    return img.astype(np.float32)
+    return _decode_image(fn)
 
 
 def _read_mask(fn):

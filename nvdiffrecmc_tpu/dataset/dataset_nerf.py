@@ -1,5 +1,12 @@
-"""NeRF-synthetic dataset (transforms_*.json) — parity with
-/root/reference/dataset/dataset_nerf.py.  Host-side numpy only."""
+"""NeRF-synthetic dataset: `transforms_{train,test,val}.json` + one image
+per frame.  Capability parity with /root/reference/dataset/dataset_nerf.py
+(LDR->linear conversion, fovx->fovy, OpenGL camera convention with the -90deg
+x-rotation of the NeRF world frame, index wrapping past n_frames).
+
+Host-side numpy only.  Unlike the reference (which re-derives the camera per
+__getitem__), all camera matrices are precomputed VECTORIZED at init: one
+[N,4,4] einsum pass over the whole frame table, so the per-item cost is just
+the (optional) image decode."""
 
 import glob
 import json
@@ -8,73 +15,82 @@ import os
 import numpy as np
 
 from ..ops import vecmath
-from ..render.texture import load_image
 from .dataset import Dataset
 
 
-def _srgb_to_rgb_np(f):
-    return np.where(f <= 0.04045, f / 12.92,
-                    np.power((np.clip(f, 0.04045, None) + 0.055) / 1.055, 2.4))
+def _decode_image(stem):
+    """Read `stem` (exact path, or any extension of it) as float32 RGBA-ish.
 
-
-def _load_img(path):
-    files = glob.glob(path + '.*') or glob.glob(path)
-    assert len(files) > 0, \
-        "Tried to find image file for: %s, but found 0 files" % path
+    8-bit files are treated as sRGB-encoded LDR: color channels are
+    linearized, alpha (if present) is left untouched."""
+    candidates = glob.glob(stem) or glob.glob(stem + '.*')
+    if not candidates:
+        raise FileNotFoundError('no image matches %r' % stem)
     import imageio.v2 as imageio
-    img = np.asarray(imageio.imread(files[0]))
-    if img.dtype != np.float32:  # LDR -> linear
-        img = img.astype(np.float32) / 255.0
-        img[..., 0:3] = _srgb_to_rgb_np(img[..., 0:3])
-    return img.astype(np.float32)
+    raw = np.asarray(imageio.imread(candidates[0]))
+    if np.issubdtype(raw.dtype, np.floating):
+        return raw.astype(np.float32)
+    x = raw.astype(np.float32) / np.float32(np.iinfo(raw.dtype).max)
+    lo = x[..., :3] / 12.92
+    hi = ((np.maximum(x[..., :3], 0.04045) + 0.055) / 1.055) ** 2.4
+    x[..., :3] = np.where(x[..., :3] <= 0.04045, lo, hi)
+    return x
 
 
 class DatasetNERF(Dataset):
+    """Iterable view over one transforms_*.json split."""
+
     def __init__(self, cfg_path, FLAGS, examples=None):
         self.FLAGS = FLAGS
         self.examples = examples
-        self.base_dir = os.path.dirname(cfg_path)
-        self.cfg = json.load(open(cfg_path, 'r'))
-        self.n_images = len(self.cfg['frames'])
+        root = os.path.dirname(cfg_path)
+        with open(cfg_path) as f:
+            meta = json.load(f)
 
-        ref = _load_img(os.path.join(self.base_dir,
-                                     self.cfg['frames'][0]['file_path']))
-        self.resolution = ref.shape[0:2]
+        self._paths = [os.path.join(root, fr['file_path'])
+                       for fr in meta['frames']]
+        self.n_images = len(self._paths)
+
+        probe = _decode_image(self._paths[0])
+        self.resolution = probe.shape[:2]
         self.aspect = self.resolution[1] / self.resolution[0]
-        print("DatasetNERF: %d images with shape [%d, %d]"
-              % (self.n_images, self.resolution[0], self.resolution[1]))
+        print('DatasetNERF: %d frames at %dx%d from %s'
+              % (self.n_images, self.resolution[1], self.resolution[0],
+                 cfg_path))
 
-        self.preloaded_data = None
+        # --- vectorized camera table -----------------------------------
+        # NeRF stores camera-to-world in a z-up world; the renderer wants
+        # y-up modelview, so fold a -90deg world x-rotation into every mv.
+        c2w = np.array([fr['transform_matrix'] for fr in meta['frames']],
+                       np.float32)                           # [N,4,4]
+        world_fix = vecmath.rotate_x(-np.pi / 2).astype(np.float32)
+        mv = np.linalg.inv(c2w) @ world_fix[None]            # [N,4,4]
+        fovy = vecmath.fovx_to_fovy(meta['camera_angle_x'], self.aspect)
+        near, far = FLAGS['cam_near_far']
+        proj = vecmath.perspective(fovy, self.aspect, near, far)
+        self._mv = mv
+        self._mvp = (proj[None].astype(np.float32) @ mv).astype(np.float32)
+        self._campos = np.linalg.inv(mv)[:, :3, 3].astype(np.float32)
+
+        self._images = None
         if FLAGS['pre_load']:
-            self.preloaded_data = [self._parse_frame(i)
-                                   for i in range(self.n_images)]
-
-    def _parse_frame(self, idx):
-        cfg = self.cfg
-        fovy = vecmath.fovx_to_fovy(cfg['camera_angle_x'], self.aspect)
-        proj = vecmath.perspective(fovy, self.aspect,
-                                   self.FLAGS['cam_near_far'][0],
-                                   self.FLAGS['cam_near_far'][1])
-        img = _load_img(os.path.join(self.base_dir,
-                                     cfg['frames'][idx]['file_path']))
-        xf = np.array(cfg['frames'][idx]['transform_matrix'], np.float32)
-        mv = np.linalg.inv(xf) @ vecmath.rotate_x(-np.pi / 2)
-        campos = np.linalg.inv(mv)[:3, 3]
-        mvp = proj @ mv
-        return (img[None], mv[None].astype(np.float32),
-                mvp[None].astype(np.float32), campos[None].astype(np.float32))
+            self._images = [_decode_image(p) for p in self._paths]
 
     def getMesh(self):
-        return None
+        return None  # image-supervised: no reference geometry
 
     def __len__(self):
         return self.n_images if self.examples is None else self.examples
 
     def __getitem__(self, itr):
-        if self.preloaded_data is not None:
-            img, mv, mvp, campos = self.preloaded_data[itr % self.n_images]
-        else:
-            img, mv, mvp, campos = self._parse_frame(itr % self.n_images)
-        return {'mv': mv, 'mvp': mvp, 'campos': campos,
-                'resolution': self.FLAGS['train_res'],
-                'spp': self.FLAGS['spp'], 'img': img}
+        i = itr % self.n_images
+        img = (self._images[i] if self._images is not None
+               else _decode_image(self._paths[i]))
+        return {
+            'mv': self._mv[i][None],
+            'mvp': self._mvp[i][None],
+            'campos': self._campos[i][None],
+            'resolution': self.FLAGS['train_res'],
+            'spp': self.FLAGS['spp'],
+            'img': img[None],
+        }

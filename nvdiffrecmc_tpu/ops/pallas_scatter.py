@@ -88,6 +88,8 @@ def sorted_scatter_add_t(sidx, vals_t, out_rows, *, tile=512, blk=2048,
     """
     M = sidx.shape[0]
     C = vals_t.shape[0]
+    if M == 0:
+        return jnp.zeros((C, out_rows), jnp.float32)
     nt = -(-out_rows // tile)                    # bins
     m_pad = -(-M // blk) * blk
     nblk = m_pad // blk
@@ -168,6 +170,18 @@ def scatter_add_t(idx, vals_t, out_rows, *, tile=512, blk=2048,
     if jax.default_backend() == 'cpu' and not interpret:
         return scatter_add_t_ref(idx, vals_t, out_rows)
     M = idx.shape[0]
+    if M == 0:
+        return jnp.zeros((vals_t.shape[0], out_rows), jnp.float32)
+    # Auto-raise the bin size when out_rows would overflow the 15-bit bin
+    # budget of the packed work items (tile=512 caps out_rows at ~16.7M —
+    # a 4096^2 texture pyramid adjoint needs ~22M).  Lane-dim blocks only
+    # need tile % 128 == 0, so doubling is always legal.
+    while (-(-out_rows // tile) + 1 >= (1 << (31 - _GBITS))
+           and tile < (1 << 22)):
+        tile *= 2
+    if (-(-out_rows // tile) + 1 >= (1 << (31 - _GBITS))
+            or -(-M // blk) >= _EMPTY):
+        return scatter_add_t_ref(idx, vals_t, out_rows)  # beyond packing
     idx = jnp.where((idx >= 0) & (idx < out_rows), idx,
                     out_rows + tile)             # drop -> past trash bin
     ks, perm = lax.sort((idx, jnp.arange(M, dtype=jnp.int32)), num_keys=1)

@@ -206,20 +206,6 @@ def shade_post(FLAGS, pre, diffuse_accum, specular_accum, bsdf,
     return buffers
 
 
-def shade(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
-          gb_tangent, gb_texc, gb_texc_deriv, view_pos, lgt, material, bvh,
-          bsdf, denoiser_sigma, shadow_scale, rnd_seed, perms, key):
-    """Pixel shader (reference render.py:30-164): pre -> MC -> post."""
-    bsdf = material['bsdf'] if bsdf is None else bsdf
-    pre = shade_pre(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal,
-                    gb_normal, gb_tangent, gb_texc, gb_texc_deriv, view_pos,
-                    material, bsdf, key)
-    diffuse_accum, specular_accum = shade_mc(FLAGS, pre, lgt, bvh, bsdf,
-                                             shadow_scale, rnd_seed, perms)
-    return shade_post(FLAGS, pre, diffuse_accum, specular_accum, bsdf,
-                      denoiser_sigma)
-
-
 def gbuffer_layer(v_pos_clip, rast, rast_deriv, mesh, resolution, spp, msaa):
     """Interpolate one depth layer's G-buffer (reference render.py:189-234).
     Returns (rast_out_s, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
@@ -280,26 +266,21 @@ def gbuffer_layer(v_pos_clip, rast, rast_deriv, mesh, resolution, spp, msaa):
           / jnp.clip(clip_pos[..., 3:4] + dw, min=eps))
     gb_depth = jnp.concatenate((z0, jnp.abs(z1 - z0)), axis=-1)
 
-    buffers = shade(FLAGS, rast_out_s, gb_depth, gb_pos, gb_geometric_normal,
-                    gb_normal, gb_tangent, gb_texc, gb_texc_deriv, view_pos,
-                    lgt, mesh.material, bvh, bsdf, denoiser_sigma,
-                    shadow_scale, rnd_seed, perms, key)
-
-    if spp > 1 and msaa:
-        buffers = {k: scale_img_nhwc(v, full_res, mag='nearest', min='nearest')
-                   for k, v in buffers.items()}
-    return buffers
+    return (rast_out_s, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
+            gb_tangent, gb_texc, gb_texc_deriv)
 
 
-def render_mesh(FLAGS, mesh, mtx_in, view_pos, lgt, resolution, bvh, perms,
-                key, spp=1, num_layers=1, msaa=False, background=None,
-                bsdf=None, denoiser_sigma=None, shadow_scale=1.0, rnd_seed=0):
-    """Depth-peeled differentiable render (reference render.py:262-332).
+def render_gbuffer(FLAGS, mesh, mtx_in, view_pos, resolution, spp,
+                   num_layers, msaa, bsdf, key):
+    """Stage 1 (seed-independent): clip transform, depth-peeled
+    rasterization, per-layer G-buffer interpolation and `shade_pre`.
+    Returns (v_pos_clip, layers) with layers = [(pre_dict, rast), ...].
 
-    mtx_in: [B,4,4]; view_pos: [B,3]; returns dict of [B,H*spp,W*spp,4]
-    buffers composited front-to-back with per-layer antialiasing."""
+    Splitting here is what lets eval rasterize ONCE and re-run only the
+    MC stage per seed (reference validate runs n_samples=32 in one launch,
+    train.py:260-264; the TPU worker watchdog forces K smaller programs —
+    see train.render_eval)."""
     full_res = [resolution[0] * spp, resolution[1] * spp]
-
     view_pos = view_pos[:, None, None, :]
     v_pos_clip = xfm.xfm_points(mesh.v_pos, mtx_in)
 
@@ -310,12 +291,65 @@ def render_mesh(FLAGS, mesh, mtx_in, view_pos, lgt, resolution, bvh, perms,
         rast, rast_db = ras.rasterize(v_pos_clip, mesh.t_pos_idx, full_res,
                                       prev_rast=prev_rast)
         prev_rast = rast
-        buffers = render_layer(FLAGS, v_pos_clip, rast, rast_db, mesh,
-                               view_pos, lgt, resolution, spp, msaa, bvh,
-                               bsdf, denoiser_sigma, shadow_scale,
-                               rnd_seed + i, perms, keys[i])
-        layers.append((buffers, rast))
+        (rast_out_s, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
+         gb_tangent, gb_texc, gb_texc_deriv) = gbuffer_layer(
+            v_pos_clip, rast, rast_db, mesh, resolution, spp, msaa)
+        pre = shade_pre(FLAGS, rast_out_s, gb_depth, gb_pos,
+                        gb_geometric_normal, gb_normal, gb_tangent, gb_texc,
+                        gb_texc_deriv, view_pos, mesh.material, bsdf,
+                        keys[i])
+        layers.append((pre, rast))
+    return v_pos_clip, layers
 
+
+def render_mc(FLAGS, layers, lgt, bvh, bsdf, shadow_scale, rnd_seed, perms):
+    """Stage 2 (seed-dependent): MC env shading per depth layer.  Returns
+    [(diffuse_accum, specular_accum), ...] aligned with `layers`."""
+    return [shade_mc(FLAGS, pre, lgt, bvh, bsdf, shadow_scale,
+                     rnd_seed + i, perms)
+            for i, (pre, _) in enumerate(layers)]
+
+
+def render_finish(FLAGS, mesh, v_pos_clip, layers, mc, resolution, spp,
+                  msaa, background, bsdf, denoiser_sigma):
+    """Stage 3: `shade_post` per layer, MSAA upscale, front-to-back
+    composite with per-layer antialiasing, spp pooling.  Linear in the MC
+    accumulators when denoising is off (what licenses eval's
+    mean-of-K-seeds: alpha/AA blend weights depend only on stage-1
+    state)."""
+    full_res = [resolution[0] * spp, resolution[1] * spp]
+    buf_layers = []
+    for (pre, rast), (da, sa) in zip(layers, mc):
+        buffers = shade_post(FLAGS, pre, da, sa, bsdf, denoiser_sigma)
+        if spp > 1 and msaa:
+            buffers = {k: scale_img_nhwc(v, full_res, mag='nearest',
+                                         min='nearest')
+                       for k, v in buffers.items()}
+        buf_layers.append((buffers, rast))
+    return _composite(FLAGS, mesh, v_pos_clip, buf_layers, full_res, spp,
+                      background)
+
+
+def render_mesh(FLAGS, mesh, mtx_in, view_pos, lgt, resolution, bvh, perms,
+                key, spp=1, num_layers=1, msaa=False, background=None,
+                bsdf=None, denoiser_sigma=None, shadow_scale=1.0, rnd_seed=0):
+    """Depth-peeled differentiable render (reference render.py:262-332).
+
+    mtx_in: [B,4,4]; view_pos: [B,3]; returns dict of [B,H*spp,W*spp,4]
+    buffers composited front-to-back with per-layer antialiasing.
+    Composed from the three stages above so train and eval share one code
+    path."""
+    bsdf = mesh.material['bsdf'] if bsdf is None else bsdf
+    v_pos_clip, layers = render_gbuffer(FLAGS, mesh, mtx_in, view_pos,
+                                        resolution, spp, num_layers, msaa,
+                                        bsdf, key)
+    mc = render_mc(FLAGS, layers, lgt, bvh, bsdf, shadow_scale, rnd_seed,
+                   perms)
+    return render_finish(FLAGS, mesh, v_pos_clip, layers, mc, resolution,
+                         spp, msaa, background, bsdf, denoiser_sigma)
+
+
+def _composite(FLAGS, mesh, v_pos_clip, layers, full_res, spp, background):
     if background is not None:
         if spp > 1:
             background = scale_img_nhwc(background, full_res,
@@ -323,7 +357,7 @@ def render_mesh(FLAGS, mesh, mtx_in, view_pos, lgt, resolution, bvh, perms,
         background = jnp.concatenate(
             (background, jnp.zeros_like(background[..., 0:1])), axis=-1)
     else:
-        B = mtx_in.shape[0]
+        B = layers[0][1].shape[0]
         background = jnp.zeros((B, full_res[0], full_res[1], 4))
 
     # Composite every buffer per layer, then antialias ALL buffers with ONE

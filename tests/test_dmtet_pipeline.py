@@ -85,6 +85,7 @@ def test_marching_tets_vertex_compaction():
     assert len(np.unique(f)) == n_active
 
 
+@pytest.mark.smoke
 def test_marching_tets_gradients():
     v, sdf, idx, eu, em = sphere_case(res=8)
     max_tris = 2048
@@ -114,6 +115,7 @@ def test_sdf_reg_loss_behaviour():
     assert l_noisy > l_smooth >= 0
 
 
+@pytest.mark.smoke
 def test_reference_configs_parse():
     from nvdiffrecmc_tpu.config import parse_flags
     cfgs = sorted(glob.glob('/root/repo/configs/*.json'))
@@ -124,6 +126,7 @@ def test_reference_configs_parse():
         assert FLAGS['out_dir'].startswith('out')
 
 
+@pytest.mark.smoke
 def test_render_mesh_smoke_tiny():
     """Full render_mesh forward at tiny res through all buffers."""
     from nvdiffrecmc_tpu.render import render as render_mod

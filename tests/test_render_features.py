@@ -105,3 +105,32 @@ def test_background_modes():
                                       jax.random.PRNGKey(0), {})
         assert out['background'].shape == (1, 16, 16, 3)
         assert np.all(np.isfinite(np.asarray(out['img'])))
+
+
+def test_staged_eval_mean_equals_mean_of_full_renders():
+    """The staged eval protocol (rasterize once, average K MC stages,
+    finish once) must equal the mean of K full renders with the same
+    seeds: everything downstream of the MC accumulators is linear when
+    denoising is off (train.render_eval relies on this)."""
+    m, bvh, lgt, perms, mvp, campos = setup_scene()
+    FLAGS = {'n_samples': 2, 'denoiser_demodulate': True}
+    res, K = 32, 3
+    bg = jnp.ones((1, res, res, 3)) * 0.1
+    key = jax.random.PRNGKey(0)
+
+    full = []
+    for s in range(K):
+        full.append(render_mod.render_mesh(
+            FLAGS, m, mvp, campos, lgt, (res, res), bvh, perms, key,
+            background=bg, denoiser_sigma=None, rnd_seed=s * 100))
+    mean_full = np.mean([np.asarray(b['shaded']) for b in full], axis=0)
+
+    v_clip, layers = render_mod.render_gbuffer(
+        FLAGS, m, mvp, campos, (res, res), 1, 1, False, 'pbr', key)
+    mcs = [render_mod.render_mc(FLAGS, layers, lgt, bvh, 'pbr', 1.0,
+                                s * 100, perms) for s in range(K)]
+    mc_avg = jax.tree.map(lambda *xs: sum(xs) / K, *mcs)
+    staged = render_mod.render_finish(FLAGS, m, v_clip, layers, mc_avg,
+                                      (res, res), 1, False, bg, 'pbr', None)
+    np.testing.assert_allclose(np.asarray(staged['shaded']), mean_full,
+                               rtol=1e-5, atol=1e-5)

@@ -70,6 +70,41 @@ def test_scatter_empty_bins():
     assert float(jnp.abs(out[:, 1024:]).max()) == 0.0
 
 
+@pytest.mark.tpu
+def test_scatter_empty_bins_on_chip():
+    """Same empty-bin case WITHOUT interpret: interpret mode zero-fills
+    output buffers, so only a real-device run exercises the
+    undefined-memory bug class the _EMPTY work items exist to prevent."""
+    if jax.default_backend() == 'cpu':
+        pytest.skip('needs real TPU (interpret mode cannot catch this)')
+    rng = np.random.RandomState(3)
+    idx = jnp.asarray(rng.randint(768, 1024, 4096).astype(np.int32))
+    vals = jnp.asarray(rng.randn(3, 4096).astype(np.float32))
+    ref = ps.scatter_add_t_ref(idx, vals, 8192)
+    out = ps.scatter_add_t(idx, vals, 8192, tile=256, blk=512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+    assert float(jnp.abs(out[:, :768]).max()) == 0.0
+    assert float(jnp.abs(out[:, 1024:]).max()) == 0.0
+
+
+def test_scatter_m_zero_and_huge_rows():
+    """M=0 returns zeros; out_rows beyond the 15-bit bin budget at the
+    default tile auto-raises tile (or falls back to the XLA twin) instead
+    of raising (ADVICE r3)."""
+    out = ps.scatter_add_t(jnp.zeros((0,), jnp.int32),
+                           jnp.zeros((3, 0), jnp.float32), 256)
+    assert out.shape == (3, 256) and float(jnp.abs(out).max()) == 0.0
+    # 22M rows at tile=512 -> nt ~ 43k >= 2^15: must not raise (trace-only;
+    # 21k interpret-mode grid steps would take minutes on this host)
+    idx, vals = _case(512, 2, 22_000_000, seed=4)
+    shape = jax.eval_shape(
+        lambda i, v: ps.scatter_add_t(i, v, 22_000_000, tile=512, blk=512,
+                                      interpret=True),
+        idx, vals)
+    assert shape.shape == (2, 22_000_000)
+
+
 def test_scatter_under_jit():
     """The op runs inside jitted VJP bodies — must trace/compile cleanly."""
     idx, vals = _case(2048, 4, 1024, seed=2)

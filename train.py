@@ -12,6 +12,7 @@ Usage: python train.py --config configs/bob.json
 
 import argparse
 import contextlib
+import dataclasses
 import json
 import os
 import sys
@@ -610,41 +611,67 @@ def render_eval(geometry, geo_params, mat_params, mat_static, light_base,
     res = tuple(target.get('resolution', FLAGS['train_res']))
     chunk = min(n_samples, 4)
     K = max(1, (n_samples * n_samples) // (chunk * chunk))
+    bsdf_r = bsdf if bsdf is not None else mat_static['bsdf']
     if bsdf in ('kd', 'ks', 'normal', 'tangent'):
         K = 1  # deterministic G-buffer displays: no MC averaging needed
     ck = (geometry.uid, mat_static['kind'], chunk, bsdf, res)
+    geo_consts = geometry.consts() if hasattr(geometry, 'consts') else None
     if ck not in _EVAL_JIT_CACHE:
         F = dict(FLAGS)
         F['n_samples'] = chunk
         perms = envshade.make_perms(chunk)
         spp = FLAGS['spp']
 
-        def fn(geo_params, mat_params, light_base, mvp, campos, background,
-               rnd_seed):
+        # Staged protocol: geometry extraction + rasterization + G-buffer
+        # run ONCE per frame; only the MC shade re-runs per seed (the
+        # reference renders n_samples=32 in one launch, train.py:260-264;
+        # the K seed-split that the TPU worker watchdog forces used to
+        # repeat the full render K times — raster/G-buffer/AA are
+        # seed-independent, so stage them out).  Composition downstream of
+        # the MC estimate is linear with denoising off, so averaging the
+        # accumulators equals averaging K full renders.
+        def fn_g(gconsts, geo_params, mat_params, mvp, campos, key):
+            ctx = (geometry.bind_consts(gconsts) if gconsts is not None
+                   else contextlib.nullcontext())
+            with ctx:
+                material = make_material(mat_params, mat_static)
+                opt_mesh, bvh = geometry.getMesh(geo_params, material)
+                v_pos_clip, layers = render_mod.render_gbuffer(
+                    F, opt_mesh, mvp, campos, res, spp, FLAGS['layers'],
+                    False, bsdf_r, key)
+                # material holds static strings/callables (not JAX types);
+                # render_finish only reads t_pos_idx from the mesh
+                out_mesh = dataclasses.replace(opt_mesh, material=None)
+                return out_mesh, bvh, v_pos_clip, layers
+
+        def fn_mc(layers, light_base, bvh, rnd_seed):
             tables = light_mod.update_pdf(light_base)
             lgt = {'base': light_base, 'pdf': tables.pdf,
                    'rows': tables.rows, 'cols': tables.cols}
-            material = make_material(mat_params, mat_static)
-            opt_mesh, bvh = geometry.getMesh(geo_params, material)
-            return render_mod.render_mesh(
-                F, opt_mesh, mvp, campos, lgt, res, bvh, perms,
-                jax.random.PRNGKey(0), spp=spp, num_layers=FLAGS['layers'],
-                background=background, bsdf=bsdf, denoiser_sigma=None,
-                rnd_seed=rnd_seed)
+            return render_mod.render_mc(F, layers, lgt, bvh, bsdf_r, 1.0,
+                                        rnd_seed, perms)
 
-        _EVAL_JIT_CACHE[ck] = jax.jit(fn)
-    fn = _EVAL_JIT_CACHE[ck]
-    args = (geo_params, mat_params, light_base, target['mvp'],
-            target['campos'], target['background'])
-    buffers = fn(*args, jnp.int32(1000))
-    if K > 1:
-        acc = {k: v for k, v in buffers.items()}
+        def fn_fin(opt_mesh, v_pos_clip, layers, mc, background):
+            return render_mod.render_finish(
+                F, opt_mesh, v_pos_clip, layers, mc, res, spp, False,
+                background, bsdf_r, None)
+
+        _EVAL_JIT_CACHE[ck] = (jax.jit(fn_g), jax.jit(fn_mc),
+                               jax.jit(fn_fin),
+                               jax.jit(lambda a, b: jax.tree.map(
+                                   jnp.add, a, b)))
+    fn_g, fn_mc, fn_fin, fn_acc = _EVAL_JIT_CACHE[ck]
+    opt_mesh, bvh, v_pos_clip, layers = fn_g(
+        geo_consts, geo_params, mat_params, target['mvp'], target['campos'],
+        jax.random.PRNGKey(0))
+    mc = fn_mc(layers, light_base, bvh, jnp.int32(1000))
+    has_mc = any(x is not None for pair in mc for x in pair)
+    if K > 1 and has_mc:
         for k_i in range(1, K):
-            b = fn(*args, jnp.int32(1000 + k_i))
-            for name, v in b.items():
-                acc[name] = acc[name] + v
-        buffers = {name: v / K for name, v in acc.items()}
-    return buffers
+            mc = fn_acc(mc, fn_mc(layers, light_base, bvh,
+                                  jnp.int32(1000 + k_i)))
+        mc = jax.tree.map(lambda x: x / K, mc)
+    return fn_fin(opt_mesh, v_pos_clip, layers, mc, target['background'])
 
 
 def validate_itr(target, ref_mesh, geometry, geo_params, mat_params,
