@@ -82,6 +82,25 @@ def bench_tracer(n_rays=2 ** 21):
     return n_rays / statistics.median(times) / 1e6
 
 
+# v5e peak: 197 TFLOP/s bf16 MXU (f32 analysis FLOPs counted against the
+# bf16 peak understates achievable f32 MFU ~2x; stated in extras.mfu_note)
+PEAK_FLOPS_V5E_BF16 = 197e12
+
+
+def _step_cost(jitted, *args):
+    """XLA's own FLOP/byte model for one compiled step (auditable MFU
+    basis).  Returns {} if the backend doesn't expose cost analysis."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return {'flops': float(ca.get('flops', 0.0)),
+                'bytes': float(ca.get('bytes accessed', 0.0))}
+    except Exception as e:  # axon tunnel may not expose cost analysis
+        print('cost_analysis unavailable: %r' % (e,), file=sys.stderr)
+        return {}
+
+
 def _median_iter_rate(step_fn, params, opt_state, target, key, iters):
     """Median per-iteration rate with one host sync per iteration."""
     # warm (compile + first run)
@@ -167,8 +186,11 @@ def bench_train(iters=12):
 
     step = jax.jit(step, donate_argnums=(0, 1))
     target = _spot_target(res)
-    return _median_iter_rate(step, params, opt_state, target,
+    cost = _step_cost(step, params, opt_state, target, jnp.float32(0),
+                      jax.random.PRNGKey(0))
+    rate = _median_iter_rate(step, params, opt_state, target,
                              jax.random.PRNGKey(0), iters)
+    return rate, cost
 
 
 def bench_pass1(iters=8):
@@ -231,8 +253,11 @@ def bench_pass1(iters=8):
         return jstep(params, opt_state, target, it, key, geo_consts)
 
     target = _spot_target(res, rng_seed=3)
-    return _median_iter_rate(step_bound, params, opt_state, target,
+    cost = _step_cost(jstep, params, opt_state, target, jnp.float32(0),
+                      jax.random.PRNGKey(1), geo_consts)
+    rate = _median_iter_rate(step_bound, params, opt_state, target,
                              jax.random.PRNGKey(1), iters)
+    return rate, cost
 
 
 def profile_step(trace_dir='/tmp/nvdiffrecmc_tpu_trace', which='pass2'):
@@ -245,6 +270,12 @@ def profile_step(trace_dir='/tmp/nvdiffrecmc_tpu_trace', which='pass2'):
     with jax.profiler.trace(trace_dir):
         fn(iters=4)
     print("trace written to", trace_dir)
+
+
+def _mfu(rate, cost):
+    if not cost or not cost.get('flops'):
+        return None
+    return round(100.0 * rate * cost['flops'] / PEAK_FLOPS_V5E_BF16, 3)
 
 
 def _note(msg, t0):
@@ -263,9 +294,9 @@ def main():
     _note('tracer bench...', t_start)
     mrays = bench_tracer()
     _note('tracer %.2f Mrays/s; pass-2 train bench...' % mrays, t_start)
-    iters_per_sec = bench_train()
+    iters_per_sec, cost2 = bench_train()
     _note('pass-2 %.3f iter/s; pass-1 train bench...' % iters_per_sec, t_start)
-    pass1_rate = bench_pass1()
+    pass1_rate, cost1 = bench_pass1()
     _note('pass-1 %.3f iter/s' % pass1_rate, t_start)
     out = {
         "metric": "train_iters_per_sec_spot_b1_512_n4",
@@ -279,6 +310,14 @@ def main():
             "bench_wall_s": round(time.time() - t_start, 1),
             "timing": "median per-iter, one host sync per iter (ref protocol)",
             "baseline_note": "vs estimated A6000 3.3 iter/s (reference publishes no numbers)",
+            "step_gflops_pass2": round(cost2['flops'] / 1e9, 2) if cost2 else None,
+            "step_gbytes_pass2": round(cost2['bytes'] / 1e9, 2) if cost2 else None,
+            "step_gflops_pass1": round(cost1['flops'] / 1e9, 2) if cost1 else None,
+            "mfu_pct": _mfu(iters_per_sec, cost2),
+            "mfu_pct_pass1": _mfu(pass1_rate, cost1),
+            "mfu_note": "XLA cost-analysis FLOPs vs 197 TFLOP/s v5e bf16 peak; "
+                        "this workload is gather/latency-bound, not MXU-bound, "
+                        "so low MFU is expected — trend matters",
         },
     }
     print(json.dumps(out))

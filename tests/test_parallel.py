@@ -125,3 +125,79 @@ def test_sharded_matches_single_device(sharded_and_single):
     for a, b in zip(jax.tree.leaves(new_p), jax.tree.leaves(new_p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Sharded DMTet pass-1 step (geo_consts as jit args under the mesh)
+# ---------------------------------------------------------------------------
+
+def _setup_dmtet():
+    from nvdiffrecmc_tpu.geometry import DMTetGeometry
+    m, light_base, perms, mvp, campos = graft._make_scene(
+        RES, N_SAMPLES, batch=BATCH, sub=1, light_res=16)
+    FLAGS = dict(train_mod.parse_flags([]))
+    FLAGS.update(dict(n_samples=N_SAMPLES, train_res=[RES, RES], iter=10,
+                      batch=BATCH, layers=1, spp=1, no_perturbed_nrm=True))
+    geometry = DMTetGeometry(6, 1.0, FLAGS, max_tris=512)
+    mat_params, mat_static = train_mod.initial_guess_material(
+        geometry, True, FLAGS)
+    image_loss_fn = train_mod.createLoss(FLAGS)
+    geo_consts = geometry.consts()
+
+    def step(params, target, key, gconsts):
+        """Gradients only (no optimizer): the sharding-critical piece is
+        the psum of the tick's grads with the big geometry tables riding
+        as replicated jit ARGUMENTS (train.py's compute_grads protocol)."""
+        with geometry.bind_consts(gconsts):
+            tables = light_mod.update_pdf(params['light'])
+            tgt = dict(target, resolution=(RES, RES), spp=1)
+
+            def loss_fn(p):
+                lgt_p = {'base': p['light'], 'pdf': tables.pdf,
+                         'rows': tables.rows, 'cols': tables.cols}
+                material = train_mod.make_material(p['mat'], mat_static)
+                img_loss, reg_loss = geometry.tick(
+                    p['geo'], material, lgt_p, tgt, image_loss_fn,
+                    jnp.float32(5.0), FLAGS, jnp.float32(1.0), perms, key,
+                    rnd_seed=jnp.int32(5))
+                return img_loss + reg_loss
+
+            return jax.value_and_grad(loss_fn)(params)
+
+    params = {'geo': geometry.parameters(),
+              'mat': mat_params, 'light': light_base}
+    rng = np.random.RandomState(0)
+    target = {
+        'img': jnp.asarray(rng.rand(BATCH, RES, RES, 4).astype(np.float32)),
+        'mvp': mvp, 'campos': campos,
+        'background': jnp.ones((BATCH, RES, RES, 3)),
+    }
+    return step, params, target, geo_consts
+
+
+def test_sharded_dmtet_pass1_matches_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices (tests/conftest.py)')
+    step, params, target, geo_consts = _setup_dmtet()
+    key = jax.random.PRNGKey(0)
+
+    mesh = make_mesh(8)
+    with mesh:
+        p_sh = replicate(mesh, params)
+        c_sh = replicate(mesh, geo_consts)
+        t_sh = shard_batch(mesh, target)
+        loss_sh, g_sh = jax.jit(step)(p_sh, t_sh, key, c_sh)
+        loss_sh = float(loss_sh)
+
+    dev = jax.devices()[0]
+    loss_1, g_1 = jax.jit(step)(jax.device_put(params, dev),
+                                jax.device_put(target, dev), key,
+                                jax.device_put(geo_consts, dev))
+    loss_1 = float(loss_1)
+
+    assert np.isfinite(loss_sh)
+    assert abs(loss_sh - loss_1) < 1e-4 * max(1.0, abs(loss_1)), \
+        (loss_sh, loss_1)
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
