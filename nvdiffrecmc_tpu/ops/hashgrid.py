@@ -111,65 +111,142 @@ _CORNER_BITS = np.array([[(c >> d) & 1 for d in range(3)]
 
 @functools.lru_cache(maxsize=8)
 def _level_consts(cfg: HashEncodingConfig):
-    """Per-level constants as [L] numpy arrays (baked into the jaxpr)."""
+    """Per-level constants (baked into the jaxpr): resolutions, the
+    dense/hashed split (dense levels are a contiguous prefix — resolution
+    grows monotonically), and the table size."""
     T = 1 << cfg.log2_hashmap_size
     scales = level_scales(cfg)
     res = np.array(scales, np.int32)                       # [L]
     dense = np.array([(r + 1) ** 3 <= T for r in scales], bool)
-    return res, dense, T
+    n_dense = int(dense.sum())
+    assert dense[:n_dense].all(), 'dense levels must be a prefix'
+    return res, n_dense, T
 
 
-def _corner_rows_weights(x, cfg: HashEncodingConfig):
-    """Vectorized index/weight computation for every (pixel, level, corner).
+def _wc_t(xt, res_np):
+    """Per-dimension corner weight factors, lane-major.
 
-    x: [P, 3] in [0, 1].  Returns
-      rows [P, L, 8] int32 — global rows into the [L*T, F] flat table,
-      wc   [P, L, 8, 3] float32 — per-dimension corner weight factors
-           (w_d for bit 1, 1-w_d for bit 0; their product is the trilinear
-           corner weight, kept factored for the position adjoint).
+    xt [3, P]; res_np [Ls] for a contiguous level slice.  Returns
+      p0 [3, Ls, P] int32 clipped base corner,
+      wc [3, Ls, 8, P] float32 (w_d for corner bit 1, 1-w_d for bit 0).
+    Lane-major layouts keep P in the 128-lane dim: [*, 8]-minor or
+    [*, 2]-minor temps get tile-padded 16-64x on TPU (PERF_NOTES round-2
+    session 6), which dominated the first vectorized version of this op.
     """
-    res_np, dense_np, T = _level_consts(cfg)
-    res = jnp.asarray(res_np)                              # [L]
-    dense = jnp.asarray(dense_np)
-
-    p = x[:, None, :] * res[None, :, None].astype(x.dtype)  # [P, L, 3]
+    res = jnp.asarray(res_np)
+    p = xt[:, None, :] * res[None, :, None].astype(xt.dtype)   # [3, Ls, P]
     p0f = jnp.floor(p)
-    w = p - p0f                                            # [P, L, 3]
+    w = p - p0f
     p0 = jnp.clip(p0f.astype(jnp.int32), 0, res[None, :, None])
+    bits = jnp.asarray(_CORNER_BITS.T)                         # [3, 8]
+    wc = jnp.where(bits[:, None, :, None].astype(bool),
+                   w[:, :, None, :], 1.0 - w[:, :, None, :])   # [3, Ls, 8, P]
+    return p0, wc
 
-    bits = jnp.asarray(_CORNER_BITS)                       # [8, 3]
-    ic = jnp.clip(p0[:, :, None, :] + bits[None, None],    # [P, L, 8, 3]
-                  0, res[None, :, None, None])
 
-    # dense index and spatial hash computed for all levels, select by flag
-    r1 = (res + 1)[None, :, None]
-    d_idx = (ic[..., 0] * r1 + ic[..., 1]) * r1 + ic[..., 2]
+def _hashed_rows(p0, res_np, T):
+    """Global rows into the hashed-level table block.  p0 [3, Lh, P] for
+    the hashed level slice; returns rows [Lh, 8, P] int32 in [0, Lh*T)."""
+    res = jnp.asarray(res_np)
+    bits = jnp.asarray(_CORNER_BITS.T)                         # [3, 8]
+    ic = jnp.clip(p0[:, :, None, :] + bits[:, None, :, None],
+                  0, res[None, :, None, None])                 # [3, Lh, 8, P]
     u = ic.astype(jnp.uint32)
-    h = (u[..., 0] * jnp.uint32(PRIMES[0])
-         ^ u[..., 1] * jnp.uint32(PRIMES[1] & 0xFFFFFFFF)
-         ^ u[..., 2] * jnp.uint32(PRIMES[2]))
-    h_idx = (h % jnp.uint32(T)).astype(jnp.int32)
-    idx = jnp.where(dense[None, :, None], d_idx, h_idx)    # [P, L, 8]
-    lvl_base = (jnp.arange(cfg.n_levels, dtype=jnp.int32) * T)[None, :, None]
-    rows = idx + lvl_base
+    h = (u[0] * jnp.uint32(PRIMES[0])
+         ^ u[1] * jnp.uint32(PRIMES[1] & 0xFFFFFFFF)
+         ^ u[2] * jnp.uint32(PRIMES[2]))
+    idx = (h % jnp.uint32(T)).astype(jnp.int32)                # [Lh, 8, P]
+    Lh = len(res_np)
+    return idx + (jnp.arange(Lh, dtype=jnp.int32) * T)[:, None, None]
 
-    wc = jnp.where(bits[None, None].astype(bool),
-                   w[:, :, None, :], 1.0 - w[:, :, None, :])
-    return rows, wc
+
+def _cell_table_t(level_table, r, F):
+    """[8F, (r+1)^3] cell-corner table for one dense level: row block
+    c*F..c*F+F holds corner c's features for every cell, so ONE gather per
+    (pixel, level) fetches all 8 corners (vs 8 separate 8-byte touches —
+    the gather is HBM-latency-bound per row, not per byte).  Built from 8
+    clamped-shift views (pure slicing: streaming, exact, differentiable)."""
+    n = r + 1
+    t3 = level_table[: n ** 3].reshape(n, n, n, F)
+
+    def shift(t, axis):
+        # value at index i+1 with the tcnn boundary clamp (corner index
+        # clipped to r) — concat(t[1:], t[-1:]) along axis
+        idx_hi = [slice(None)] * 3
+        idx_hi[axis] = slice(1, None)
+        idx_last = [slice(None)] * 3
+        idx_last[axis] = slice(n - 1, n)
+        return jnp.concatenate([t[tuple(idx_hi)], t[tuple(idx_last)]],
+                               axis=axis)
+
+    corners = []
+    for c in range(8):
+        tc = t3
+        for ax in range(3):
+            if (c >> ax) & 1:
+                tc = shift(tc, ax)
+        corners.append(tc.reshape(n ** 3, F))
+    return jnp.concatenate(corners, axis=1).T                 # [8F, n^3]
+
+
+def _cell_table_adjoint(d_ct_t, r, F, T):
+    """Adjoint of _cell_table_t: scatter corner-block cotangents back to
+    the level table rows (pure pad/slice adds, streaming).  d_ct_t
+    [8F, (r+1)^3] -> [T, F] (rows past (r+1)^3 zero)."""
+    n = r + 1
+    acc = jnp.zeros((n, n, n, F), d_ct_t.dtype)
+    for c in range(8):
+        dc = d_ct_t[c * F:(c + 1) * F].T.reshape(n, n, n, F)
+        for ax in range(2, -1, -1):
+            if (c >> ax) & 1:
+                # adjoint of clamped shift: out[1:] += in[:-1]; out[-1] += in[-1]
+                idx_lo = [slice(None)] * 3
+                idx_lo[ax] = slice(0, n - 1)
+                idx_last = [slice(None)] * 3
+                idx_last[ax] = slice(n - 1, n)
+                z = [slice(None)] * 3
+                z[ax] = slice(0, 1)
+                dc = (jnp.concatenate(
+                    [jnp.zeros_like(dc[tuple(z)]), dc[tuple(idx_lo)]],
+                    axis=ax).at[tuple(idx_last)].add(dc[tuple(idx_last)]))
+        acc = acc + dc
+    return jnp.pad(acc.reshape(n ** 3, F), ((0, T - n ** 3), (0, 0)))
 
 
 def _encode_impl(table, x, cfg):
-    rows, wc = _corner_rows_weights(x, cfg)
+    """Returns (feats [P, L*F], residual corner features)."""
+    res_np, nD, T = _level_consts(cfg)
+    L, _, F = table.shape
     P = x.shape[0]
-    L, T, F = table.shape
-    flat = table.reshape(L * T, F)
-    corner_feats = jnp.take(flat, rows.reshape(-1), axis=0,
-                            unique_indices=False,
-                            indices_are_sorted=False)      # [P*L*8, F]
-    corner_feats = corner_feats.reshape(P, L, 8, F)
-    wprod = wc[..., 0] * wc[..., 1] * wc[..., 2]           # [P, L, 8]
-    feats = jnp.sum(corner_feats * wprod[..., None], axis=2)  # [P, L, F]
-    return feats.reshape(P, L * F), corner_feats
+    xt = x.T
+    p0, wc = _wc_t(xt, res_np)                      # [3, L, P], [3, L, 8, P]
+    wprod = wc[0] * wc[1] * wc[2]                   # [L, 8, P]
+
+    feats_t = []                                    # per level [F, P]
+    cf_dense = []
+    for l in range(nD):
+        r = int(res_np[l])
+        ct_t = _cell_table_t(table[l], r, F)
+        n = r + 1
+        cell = jnp.minimum(p0[0, l], r)
+        cell = (cell * n + jnp.minimum(p0[1, l], r)) * n \
+            + jnp.minimum(p0[2, l], r)
+        cf = jnp.take(ct_t, cell, axis=1)           # [8F, P]
+        cf_dense.append(cf)
+        f8 = cf.reshape(8, F, P) * wprod[l][:, None, :]
+        feats_t.append(jnp.sum(f8, axis=0))         # [F, P]
+
+    cf_hash = None
+    if nD < L:
+        rows_h = _hashed_rows(p0[:, nD:], res_np[nD:], T)   # [Lh, 8, P]
+        tt = table[nD:].reshape(-1, F).T                    # [F, Lh*T]
+        cf_hash = jnp.take(tt, rows_h.reshape(-1),
+                           axis=1).reshape(F, L - nD, 8, P)
+        fh = jnp.sum(cf_hash * wprod[None, nD:], axis=2)    # [F, Lh, P]
+        feats_t.extend([fh[:, i] for i in range(L - nD)])
+
+    feats = jnp.stack(feats_t, axis=0)              # [L, F, P]
+    return feats.reshape(L * F, P).T, (cf_dense, cf_hash)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -179,43 +256,63 @@ def encode(table, x, cfg: HashEncodingConfig):
 
 
 def _encode_fwd(table, x, cfg):
-    feats, corner_feats = _encode_impl(table, x, cfg)
-    # corner_feats saved: the position adjoint needs them and re-gathering
-    # 34M random rows costs ~100x the streaming store
-    return feats, (x, corner_feats)
+    feats, cf = _encode_impl(table, x, cfg)
+    # corner features saved: the position adjoint needs them and
+    # re-gathering ~24M random rows costs ~100x the streaming store
+    return feats, (x, cf)
 
 
 def _encode_bwd(cfg, residuals, g):
     from . import pallas_scatter
-    x, corner_feats = residuals
+    x, (cf_dense, cf_hash) = residuals
+    res_np, nD, T = _level_consts(cfg)
     L, F = cfg.n_levels, cfg.n_features_per_level
-    T = 1 << cfg.log2_hashmap_size
     P = x.shape[0]
-    rows, wc = _corner_rows_weights(x, cfg)                # recompute: cheap
-    res_np, _, _ = _level_consts(cfg)
-    g = g.reshape(P, L, 1, F)                              # [P, L, 1, F]
+    xt = x.T
+    p0, wc = _wc_t(xt, res_np)                      # recompute: cheap ALU
+    wprod = wc[0] * wc[1] * wc[2]                   # [L, 8, P]
+    g_t = g.T.reshape(L, F, P)                      # [L, F, P]
 
-    # ---- table cotangent: binned segment scatter ----
-    wprod = wc[..., 0] * wc[..., 1] * wc[..., 2]           # [P, L, 8]
-    vals = g * wprod[..., None]                            # [P, L, 8, F]
-    vals_t = vals.reshape(P * L * 8, F).T                  # [F, M]
-    d_flat_t = pallas_scatter.scatter_add_t(
-        rows.reshape(-1), vals_t, L * T)                   # [F, L*T]
-    d_table = d_flat_t.T.reshape(L, T, F)
-
-    # ---- position cotangent ----
-    # s_c = <g_lvl, table[corner]>; dx_d = sum_{l,c} s_c * sign_cd *
-    # prod_{e != d} wc_e * res_l   (w = p - floor(p), so dw/dp = 1 a.e.)
-    s = jnp.sum(g * corner_feats, axis=-1)                 # [P, L, 8]
-    bits = jnp.asarray(_CORNER_BITS).astype(jnp.float32)   # [8, 3]
-    sign = 2.0 * bits - 1.0                                # [8, 3]
+    bits = jnp.asarray(_CORNER_BITS.T).astype(jnp.float32)   # [3, 8]
+    sign = 2.0 * bits - 1.0
+    # prod of the other two weight factors per dim, [3, L, 8, P]
     prod_others = jnp.stack(
-        [wc[..., 1] * wc[..., 2],
-         wc[..., 0] * wc[..., 2],
-         wc[..., 0] * wc[..., 1]], axis=-1)                # [P, L, 8, 3]
-    resf = jnp.asarray(res_np).astype(jnp.float32)         # [L]
-    dx = jnp.einsum('plc,cd,plcd,l->pd', s, sign, prod_others, resf)
-    return d_table, dx.astype(x.dtype)
+        [wc[1] * wc[2], wc[0] * wc[2], wc[0] * wc[1]], axis=0)
+    resf = jnp.asarray(res_np).astype(jnp.float32)
+    dx_t = jnp.zeros((3, P), jnp.float32)
+
+    # ---- dense levels: tiny per-level scatters (no sort) ----
+    d_levels = []
+    for l in range(nD):
+        r = int(res_np[l])
+        n = r + 1
+        cell = jnp.minimum(p0[0, l], r)
+        cell = (cell * n + jnp.minimum(p0[1, l], r)) * n \
+            + jnp.minimum(p0[2, l], r)
+        # vals[c*F+f, p] = g[l, f, p] * wprod[l, c, p]
+        vals = (g_t[l][None] * wprod[l][:, None, :]).reshape(8 * F, P)
+        d_ct_t = pallas_scatter.scatter_add_t(cell, vals, n ** 3)
+        d_levels.append(_cell_table_adjoint(d_ct_t, r, F, T))
+        # position cotangent, dense part
+        s = jnp.einsum('fp,cfp->cp', g_t[l],
+                       cf_dense[l].reshape(8, F, P))         # [8, P]
+        dx_t = dx_t + resf[l] * jnp.einsum(
+            'cp,dc,dcp->dp', s, sign, prod_others[:, l])
+
+    # ---- hashed levels: one sorted binned scatter ----
+    if nD < L:
+        rows_h = _hashed_rows(p0[:, nD:], res_np[nD:], T)    # [Lh, 8, P]
+        vals_h = (g_t[nD:, None] * wprod[nD:, :, None]).transpose(2, 0, 1, 3)
+        d_hash_t = pallas_scatter.scatter_add_t(
+            rows_h.reshape(-1), vals_h.reshape(F, -1), (L - nD) * T)
+        d_levels.extend(
+            d_hash_t.T.reshape(L - nD, T, F))
+        s = jnp.einsum('lfp,flcp->lcp', g_t[nD:], cf_hash)   # [Lh, 8, P]
+        dx_t = dx_t + jnp.einsum(
+            'lcp,dc,dlcp,l->dp', s, sign, prod_others[:, nD:], resf[nD:])
+
+    d_table = jnp.stack(d_levels, axis=0)
+    return d_table, dx_t.T.astype(x.dtype)
 
 
 encode.defvjp(_encode_fwd, _encode_bwd)
