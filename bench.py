@@ -21,6 +21,7 @@ synced iterations is robust to a single worker hiccup and includes the same
 per-iteration host round-trip the reference pays.
 """
 
+import contextlib
 import json
 import os
 import statistics
@@ -101,20 +102,26 @@ def _step_cost(jitted, *args):
         return {}
 
 
-def _median_iter_rate(step_fn, params, opt_state, target, key, iters):
-    """Median per-iteration rate with one host sync per iteration."""
+def _median_iter_rate(step_fn, params, opt_state, target, key, iters,
+                      trace_dir=None):
+    """Median per-iteration rate with one host sync per iteration.
+    With trace_dir, the post-warmup iterations run under jax.profiler
+    (same warmed jit — tracing a separate rebuild misses the step)."""
     # warm (compile + first run)
     params, opt_state, l = step_fn(params, opt_state, target,
                                    jnp.float32(0), key)
     float(l)
+    ctx = (jax.profiler.trace(trace_dir) if trace_dir
+           else contextlib.nullcontext())
     times = []
-    for it in range(1, iters):
-        t0 = time.time()
-        params, opt_state, l = step_fn(params, opt_state, target,
-                                       jnp.float32(it),
-                                       jax.random.fold_in(key, it))
-        float(l)  # host sync: per-iteration, like the reference
-        times.append(time.time() - t0)
+    with ctx:
+        for it in range(1, iters):
+            t0 = time.time()
+            params, opt_state, l = step_fn(params, opt_state, target,
+                                           jnp.float32(it),
+                                           jax.random.fold_in(key, it))
+            float(l)  # host sync: per-iteration, like the reference
+            times.append(time.time() - t0)
     return 1.0 / statistics.median(times)
 
 
@@ -132,7 +139,7 @@ def _spot_target(res, rng_seed=2, batch=1):
     }
 
 
-def bench_train(iters=12):
+def bench_train(iters=12, trace_dir=None):
     """Steady-state pass-2 train step rate: spot fixed topology, batch 1,
     512^2, n_samples 4 (the north-star protocol)."""
     import train as train_mod
@@ -189,11 +196,12 @@ def bench_train(iters=12):
     cost = _step_cost(step, params, opt_state, target, jnp.float32(0),
                       jax.random.PRNGKey(0))
     rate = _median_iter_rate(step, params, opt_state, target,
-                             jax.random.PRNGKey(0), iters)
+                             jax.random.PRNGKey(0), iters,
+                             trace_dir=trace_dir)
     return rate, cost
 
 
-def bench_pass1(iters=8):
+def bench_pass1(iters=8, trace_dir=None):
     """Pass-1 (DMTet + hashgrid MLP texture) train step rate at 512^2,
     batch 1, n_samples 4 on a bob-like setup (VERDICT r2 item 5): the other
     half of every real training run, exercising marching tets + the hash
@@ -256,7 +264,8 @@ def bench_pass1(iters=8):
     cost = _step_cost(jstep, params, opt_state, target, jnp.float32(0),
                       jax.random.PRNGKey(1), geo_consts)
     rate = _median_iter_rate(step_bound, params, opt_state, target,
-                             jax.random.PRNGKey(1), iters)
+                             jax.random.PRNGKey(1), iters,
+                             trace_dir=trace_dir)
     return rate, cost
 
 
@@ -265,10 +274,7 @@ def profile_step(trace_dir='/tmp/nvdiffrecmc_tpu_trace', which='pass2'):
     View with Perfetto (ui.perfetto.dev) or tensorboard --logdir.
     Usage: python bench.py --profile [trace_dir] | --profile-pass1 [dir]."""
     fn = bench_pass1 if which == 'pass1' else bench_train
-    # warm up compile outside the trace window
-    fn(iters=3)
-    with jax.profiler.trace(trace_dir):
-        fn(iters=4)
+    fn(iters=5, trace_dir=trace_dir)
     print("trace written to", trace_dir)
 
 

@@ -155,6 +155,42 @@ def sorted_scatter_add_t(sidx, vals_t, out_rows, *, tile=512, blk=2048,
     return out[:, :out_rows]
 
 
+@jax.custom_vjp
+def rows_gather(table, idx):
+    """table[idx] with the table cotangent routed through the binned Pallas
+    scatter instead of the XLA serial scatter AD emits for a gather
+    transpose (~12 ms per 262k-row vertex-attribute scatter measured in the
+    pass-2 profile; the binned kernel does the same in ~2 ms).
+
+    table: [V, C]; idx: any int shape; returns idx.shape + (C,)."""
+    return table[idx]
+
+
+def _rows_gather_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _rows_gather_bwd(res, dout):
+    idx, V = res
+    C = dout.shape[-1]
+    d_t = scatter_add_t(idx.reshape(-1),
+                        dout.reshape(-1, C).T.astype(jnp.float32), V)
+    return d_t.T.astype(dout.dtype), jnp.zeros(idx.shape, jax.dtypes.float0)
+
+
+rows_gather.defvjp(_rows_gather_fwd, _rows_gather_bwd)
+
+
+def rows_gather_b(table, idx):
+    """Batched rows_gather: table [N, V, C], idx [N, ...] — folds the batch
+    into the row index so the adjoint is ONE scatter over N*V rows (also
+    sidesteps vmap-of-custom_vjp batching)."""
+    N, V, C = table.shape
+    offs = (jnp.arange(N, dtype=jnp.int32) * V).reshape(
+        (N,) + (1,) * (idx.ndim - 1))
+    return rows_gather(table.reshape(N * V, C), idx + offs)
+
+
 def scatter_add_t_ref(idx, vals_t, out_rows):
     """jnp twin (and CPU path): XLA scatter-add, same [C, N] convention."""
     out = jnp.zeros((out_rows, vals_t.shape[0]), vals_t.dtype)

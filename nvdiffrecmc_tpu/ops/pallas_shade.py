@@ -893,7 +893,11 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
     akey = jnp.argmax(jnp.abs(n_sg), axis=-1).astype(jnp.int32)
     skey = jnp.where(m_flat, okey * 3 + akey, 24)
     perm, dest = counting_sort_perm(skey, 25)
-    pos, nrm, view, kd, ks, ro_f = (x[perm] for x in
+    from .pallas_scatter import rows_gather
+    # rows_gather: the sort permute's adjoint (an unsort scatter of each
+    # [P,3] cotangent) goes through the binned pallas kernel instead of
+    # XLA's serial scatter (6 x ~3.3 ms -> ~1 ms each at 512^2)
+    pos, nrm, view, kd, ks, ro_f = (rows_gather(x, perm) for x in
                                     (pos, nrm, view, kd, ks, ro_f))
     m_flat = m_flat[perm]
 
@@ -913,7 +917,13 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
 
     u8 = make_uniforms(jax.random.PRNGKey(rnd_seed), n2, P, n_samples_x,
                        perms)
-    u8 = u8[:, :, perm]      # uniforms travel with their pixel (exactness)
+    # uniforms travel with their pixel (exactness).  Permute via
+    # transpose -> row gather -> transpose: a lane-axis gather of the
+    # [n2*8, P] pack costs ~120 ns/row on TPU (32 ms measured); the
+    # row-major detour is 3 bandwidth copies + a ~7 ns/row gather.
+    n2r = u8.shape[0] * u8.shape[1]
+    u8 = jnp.take(u8.reshape(n2r, P).T, perm, axis=0).T.reshape(
+        u8.shape[0], u8.shape[1], P)
     # pad the pixel axis to the block size
     Pp = P + ((-P) % ray_block)
     u8 = _pad_to(u8, ray_block, axis=2)
@@ -1081,8 +1091,9 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
 
     def unsort(x):
         # inverse of the coherence sort (x is in sorted pixel order); the
-        # gather's adjoint routes cotangents back through `perm`
-        return x.reshape(P, 3)[dest].reshape(B, H, W, 3)
+        # gather's adjoint routes cotangents back through `perm` via the
+        # binned pallas scatter
+        return rows_gather(x.reshape(P, 3), dest).reshape(B, H, W, 3)
 
     return unsort(d_s), unsort(s_s)
 

