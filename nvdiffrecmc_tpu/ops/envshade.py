@@ -414,11 +414,13 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
     _log_backend(eff_backend, n_samples_x, bin_rays, mask.shape)
     if (eff_backend == 'fused'
             and n_samples_x * n_samples_x <= _FUSED_MAX_N2):
+        import os
         from .pallas_shade import env_shade_fused
+        rb = int(os.environ.get('NVDR_RAY_BLOCK', '1024'))
         return env_shade_fused(
             mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
             light_base, light_pdf_tex, rows, cols, bvh, perms, rnd_seed,
-            shadow_scale, BSDF=BSDF, n_samples_x=n_samples_x)
+            shadow_scale, BSDF=BSDF, n_samples_x=n_samples_x, ray_block=rb)
     if eff_backend == 'fused':
         eff_backend = 'pallas'
     backend = eff_backend

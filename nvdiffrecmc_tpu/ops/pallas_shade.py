@@ -892,6 +892,13 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
             + (n_sg[:, 2] > 0)).astype(jnp.int32)
     akey = jnp.argmax(jnp.abs(n_sg), axis=-1).astype(jnp.int32)
     skey = jnp.where(m_flat, okey * 3 + akey, 24)
+    # (A position-cell-primary two-pass sort was measured here in round 4:
+    # it does NOT shrink the visit unions on the DMTet noise blob — the
+    # bsdf half of each block fans its lobes over the whole hemisphere, so
+    # local origins still sweep every leaf — and costs pass-2 ~7%.  The
+    # blob's ~675-of-768-leaf unions are intrinsic to per-block tracing of
+    # incoherent rays; the fix, if needed, is per-ray wave compaction, not
+    # a better sort.  PERF_NOTES round 4.)
     perm, dest = counting_sort_perm(skey, 25)
     from .pallas_scatter import rows_gather
     # rows_gather: the sort permute's adjoint (an unsort scatter of each
