@@ -61,8 +61,12 @@ def shade_pre(FLAGS, rast, gb_depth, gb_pos, gb_geometric_normal, gb_normal,
     if mlp_material:
         sample_fn = material['kd_ks']
         noise = jax.random.normal(km, gb_pos.shape) * 0.01
-        all_tex_jitter = sample_fn(gb_pos + noise)
-        all_tex = sample_fn(gb_pos)
+        # one encode over the stacked (jittered, clean) points: halves the
+        # fixed costs of the hash-grid path (one sort/scatter backward over
+        # 2P updates instead of two over P)
+        both = sample_fn(jnp.concatenate(
+            [gb_pos + noise, gb_pos], axis=0))
+        all_tex_jitter, all_tex = jnp.split(both, 2, axis=0)
         kd, ks = all_tex[..., 0:3], all_tex[..., 3:6]
         kd_grad = jnp.abs(all_tex_jitter[..., 0:3] - kd)
         ks_grad = jnp.abs(all_tex_jitter[..., 3:6] - ks) * jnp.array([0., 1., 1.])
