@@ -313,11 +313,12 @@ def interpolate_face(attr_face, rast):
     geometric-normal G-buffer + adjoint throughput).
 
     attr_face: [T, C] or [N, T, C]; rast: [N,H,W,4].  Returns [N,H,W,C]."""
-    if attr_face.ndim == 2:
-        attr_face = attr_face[None]
-    N = rast.shape[0]
+    from . import pallas_scatter
     tid = rast[..., 3].astype(jnp.int32)
-    t = jnp.clip(tid - 1, 0, attr_face.shape[1] - 1)
-    av = jax.vmap(lambda a, i: a[i])(
-        jnp.broadcast_to(attr_face, (N,) + attr_face.shape[1:]), t)
+    if attr_face.ndim == 2:
+        t = jnp.clip(tid - 1, 0, attr_face.shape[0] - 1)
+        av = pallas_scatter.rows_gather(attr_face, t)
+    else:
+        t = jnp.clip(tid - 1, 0, attr_face.shape[1] - 1)
+        av = pallas_scatter.rows_gather_b(attr_face, t)
     return jnp.where((tid > 0)[..., None], av, 0.0)
