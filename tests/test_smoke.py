@@ -116,3 +116,27 @@ def test_render_eval_staged_runs():
         geometry, geometry.parameters(), mat_params, mat_static, light_base,
         target, FLAGS, denoiser_on=False, n_samples=8, bsdf='kd')
     assert np.all(np.isfinite(np.asarray(kd['shaded'])))
+
+
+@pytest.mark.smoke
+def test_pass_boundary_bake():
+    """DMTet -> static mesh extraction -> UV unwrap -> MLP->2D texture bake
+    with seam dilation (the pass-1/pass-2 artifact handoff,
+    reference train.py:108-152)."""
+    FLAGS = _flags(no_perturbed_nrm=True, texture_res=[32, 32])
+    geometry = DMTetGeometry(6, 1.0, FLAGS, max_tris=512)
+    mat_params, mat_static = train_mod.initial_guess_material(
+        geometry, True, FLAGS)
+    base, baked = train_mod.bake_textures(
+        geometry, geometry.parameters(), mat_params, mat_static, FLAGS)
+    assert baked['kd'].shape == (1, 32, 32, 3)
+    assert baked['ks'].shape == (1, 32, 32, 3)
+    assert baked['normal'].shape[-1] == 3
+    for k, v in baked.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    # unwrap produced a usable atlas: uvs in [0,1], some chart coverage
+    uv = np.asarray(base.v_tex)
+    assert uv.min() >= -1e-5 and uv.max() <= 1 + 1e-5
+    # baked kd respects the configured range (sigmoid-scaled MLP output)
+    kd = np.asarray(baked['kd'])
+    assert kd.min() >= -1e-4 and kd.max() <= 1.0 + 1e-4
