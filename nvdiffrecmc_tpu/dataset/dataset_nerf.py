@@ -23,11 +23,16 @@ def _decode_image(stem):
 
     8-bit files are treated as sRGB-encoded LDR: color channels are
     linearized, alpha (if present) is left untouched."""
-    candidates = glob.glob(stem) or glob.glob(stem + '.*')
-    if not candidates:
-        raise FileNotFoundError('no image matches %r' % stem)
+    if os.path.isfile(stem):
+        path = stem        # exact name first: no glob (metachar-safe)
+    else:
+        candidates = [c for c in glob.glob(glob.escape(stem) + '.*')
+                      if os.path.isfile(c)]
+        if not candidates:
+            raise FileNotFoundError('no image matches %r' % stem)
+        path = candidates[0]
     import imageio.v2 as imageio
-    raw = np.asarray(imageio.imread(candidates[0]))
+    raw = np.asarray(imageio.imread(path))
     if np.issubdtype(raw.dtype, np.floating):
         return raw.astype(np.float32)
     x = raw.astype(np.float32) / np.float32(np.iinfo(raw.dtype).max)
@@ -74,7 +79,8 @@ class DatasetNERF(Dataset):
 
         self._images = None
         if FLAGS['pre_load']:
-            self._images = [_decode_image(p) for p in self._paths]
+            self._images = [probe] + [_decode_image(p)
+                                      for p in self._paths[1:]]
 
     def getMesh(self):
         return None  # image-supervised: no reference geometry

@@ -417,6 +417,9 @@ def env_shade(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
         import os
         from .pallas_shade import env_shade_fused
         rb = int(os.environ.get('NVDR_RAY_BLOCK', '1024'))
+        assert rb > 0 and rb % 128 == 0, (
+            'NVDR_RAY_BLOCK must be a positive multiple of 128 (lane-dim '
+            'block constraint), got %r' % rb)
         return env_shade_fused(
             mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
             light_base, light_pdf_tex, rows, cols, bvh, perms, rnd_seed,

@@ -211,9 +211,11 @@ def scatter_add_t(idx, vals_t, out_rows, *, tile=512, blk=2048,
     # Auto-raise the bin size when out_rows would overflow the 15-bit bin
     # budget of the packed work items (tile=512 caps out_rows at ~16.7M —
     # a 4096^2 texture pyramid adjoint needs ~22M).  Lane-dim blocks only
-    # need tile % 128 == 0, so doubling is always legal.
+    # need tile % 128 == 0; cap at 1024 so the kernel's (tile, blk) one-hot
+    # stays within the VMEM budget it was sized for (~4 MB at 512x2048),
+    # and fall back to the XLA twin beyond that.
     while (-(-out_rows // tile) + 1 >= (1 << (31 - _GBITS))
-           and tile < (1 << 22)):
+           and tile < 1024):
         tile *= 2
     if (-(-out_rows // tile) + 1 >= (1 << (31 - _GBITS))
             or -(-M // blk) >= _EMPTY):

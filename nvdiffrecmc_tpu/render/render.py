@@ -248,34 +248,31 @@ def gbuffer_layer(v_pos_clip, rast, rast_deriv, mesh, resolution, spp, msaa):
     face_normals = mesh_ops.face_normals(mesh.v_pos, mesh.t_pos_idx)
     gb_geometric_normal = ras.interpolate_face(face_normals, rast_out_s)
 
-    # Stack every attribute indexed by the same buffer into ONE gather (and
-    # one scatter-add in the backward): pos(3) nrm(3) tng(3) clip(4).
-    # Gathers/scatters are serial on TPU, so 4 separate interpolates cost
-    # 4x this one.  auto_normals/compute_tangents share t_pos_idx by
-    # construction (mesh.py:55,62); OBJ meshes with distinct index buffers
-    # take the generic path below.
+    # Stack every batch-shared attribute indexed by the same buffer into
+    # ONE gather (and one scatter-add in the backward): pos(3) nrm(3)
+    # tng(3).  Gathers/scatters are serial on TPU, so 3 separate
+    # interpolates cost 3x this one.  auto_normals/compute_tangents share
+    # t_pos_idx by construction (mesh.py:55,62); OBJ meshes with distinct
+    # index buffers take the generic path below.  Clip positions are
+    # PER-CAMERA ([N,V,4]) so they get their own batched interpolate —
+    # round 3 interpolated v_pos_clip[0] for every batch element, which
+    # fed camera-0 depths to the denoiser's depth guide on items 1..N-1.
+    clip_pos, clip_pos_deriv = ras.interpolate(
+        jax.lax.stop_gradient(v_pos_clip), rast_out_s, mesh.t_pos_idx,
+        rast_db=rast_out_deriv_s)
     if (mesh.t_nrm_idx is mesh.t_pos_idx
             and mesh.t_tng_idx is mesh.t_pos_idx):
         attr_cat = jnp.concatenate(
-            [mesh.v_pos, mesh.v_nrm, mesh.v_tng,
-             jax.lax.stop_gradient(v_pos_clip[0])], axis=-1)
-        out, out_da = ras.interpolate(attr_cat, rast_out_s, mesh.t_pos_idx,
-                                      rast_db=rast_out_deriv_s)
+            [mesh.v_pos, mesh.v_nrm, mesh.v_tng], axis=-1)
+        out, _ = ras.interpolate(attr_cat, rast_out_s, mesh.t_pos_idx)
         gb_pos = out[..., 0:3]
         gb_normal = out[..., 3:6]
         gb_tangent = out[..., 6:9]
-        nc = 13
-        clip_pos = out[..., 9:13]
-        clip_pos_deriv = jnp.concatenate(
-            [out_da[..., 9:13], out_da[..., nc + 9:nc + 13]], axis=-1)
     else:
         gb_pos, _ = ras.interpolate(mesh.v_pos, rast_out_s, mesh.t_pos_idx)
         gb_normal, _ = ras.interpolate(mesh.v_nrm, rast_out_s, mesh.t_nrm_idx)
         gb_tangent, _ = ras.interpolate(mesh.v_tng, rast_out_s,
                                         mesh.t_tng_idx)
-        clip_pos, clip_pos_deriv = ras.interpolate(
-            jax.lax.stop_gradient(v_pos_clip[0]), rast_out_s, mesh.t_pos_idx,
-            rast_db=rast_out_deriv_s)
 
     gb_texc, gb_texc_deriv = ras.interpolate(
         mesh.v_tex, rast_out_s, mesh.t_tex_idx, rast_db=rast_out_deriv_s)

@@ -134,3 +134,35 @@ def test_staged_eval_mean_equals_mean_of_full_renders():
                                       (res, res), 1, False, bg, 'pbr', None)
     np.testing.assert_allclose(np.asarray(staged['shaded']), mean_full,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_batched_render_matches_per_camera():
+    """Batch of 2 cameras must equal the two single-camera renders — in
+    particular z_grad (depth guide): round 3 interpolated camera 0's clip
+    positions for every batch element."""
+    m, bvh, lgt, perms, mvp1, campos1 = setup_scene()
+    mvp2 = jnp.asarray((vecmath.perspective(0.7854, 1, 0.1, 100)
+                        @ vecmath.translate(0.15, -0.1, -2.6))[None])
+    campos2 = jnp.asarray(np.array([[-0.15, 0.1, 2.6]], np.float32))
+    FLAGS = {'n_samples': 2, 'denoiser_demodulate': True}
+    res = 32
+    bg1 = jnp.ones((1, res, res, 3)) * 0.1
+
+    def render_one(mvp, campos):
+        return render_mod.render_mesh(
+            FLAGS, m, mvp, campos, lgt, (res, res), bvh, perms,
+            jax.random.PRNGKey(3), background=bg1, denoiser_sigma=None,
+            rnd_seed=5)
+
+    b1 = render_one(mvp1, campos1)
+    b2 = render_one(mvp2, campos2)
+    both = render_mod.render_mesh(
+        FLAGS, m, jnp.concatenate([mvp1, mvp2]),
+        jnp.concatenate([campos1, campos2]), lgt, (res, res), bvh, perms,
+        jax.random.PRNGKey(3),
+        background=jnp.concatenate([bg1, bg1]), denoiser_sigma=None,
+        rnd_seed=5)
+    for k_name in ('z_grad', 'normal', 'kd'):
+        np.testing.assert_allclose(
+            np.asarray(both[k_name][1]), np.asarray(b2[k_name][0]),
+            rtol=1e-4, atol=1e-5, err_msg=k_name + ' cam2')
