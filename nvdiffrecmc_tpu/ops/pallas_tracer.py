@@ -278,10 +278,16 @@ def _trace_kernel(lists_hbm, rayf_ref, trimat_hbm, occ_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('ray_block', 'tmin', 'tmax',
-                                             'interpret'))
+                                             'interpret', 'sort_rays'))
 def any_hit_pallas(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
-                   ray_block=1024, interpret=False):
+                   ray_block=1024, interpret=False, sort_rays=True):
     """Pallas any-hit over a LeafBVH.  ro/rd: [R, 3].  Returns bool [R].
+
+    sort_rays: stable counting-sort by (origin cell PRIMARY, direction
+    octant secondary) before blocking, unsorted on return.  Incoherent
+    ray sets (the in-train shade path pre-sorts its own rays; this serves
+    standalone callers) otherwise pay near-whole-scene visit-list unions
+    per block.  Exact — a permutation of a per-ray computation.
 
     Note: tmax is accepted for interface parity but shadow rays are treated
     as infinite (reference uses tmax=1e16, torch_bindings.cpp:109)."""
@@ -290,9 +296,29 @@ def any_hit_pallas(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
     if pad:
         ro = jnp.concatenate([ro, jnp.full((pad, 3), BIG, ro.dtype)])
         rd = jnp.concatenate([rd, jnp.zeros((pad, 3), rd.dtype)])
+    dest = None
+    if sort_rays and R > ray_block:
+        okey = ((rd[:, 0] > 0) * 4 + (rd[:, 1] > 0) * 2
+                + (rd[:, 2] > 0)).astype(jnp.int32)
+        okey = jnp.where(jnp.any(ro >= BIG, axis=-1), 8, okey)
+        perm1, _ = counting_sort_perm(okey, 9)
+        # 3^3 origin cells (counting_sort_perm materializes an [R, bins]
+        # one-hot cumsum — 28 bins keeps it ~230 MB at 2M rays)
+        lo = jnp.min(bvh.aabb_lo, axis=0)
+        ex = jnp.maximum(jnp.max(bvh.aabb_hi, axis=0) - lo, 1e-9)
+        c3 = jnp.clip(((ro - lo) / ex * 3.0).astype(jnp.int32), 0, 2)
+        cid = (c3[:, 0] * 3 + c3[:, 1]) * 3 + c3[:, 2]
+        cid = jnp.where(jnp.any(ro >= BIG, axis=-1), 27, cid)
+        perm2, _ = counting_sort_perm(cid[perm1], 28)
+        perm = perm1[perm2]
+        dest = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=jnp.int32))
+        ro, rd = ro[perm], rd[perm]
     rayf = ray_features(ro, rd)
     occ = trace_rayf(rayf, bvh, tmin=tmin, tmax=tmax, ray_block=ray_block,
                      interpret=interpret)
+    if dest is not None:
+        occ = occ[dest]
     return occ[:R]
 
 
