@@ -319,6 +319,7 @@ def main():
             "step_gflops_pass2": round(cost2['flops'] / 1e9, 2) if cost2 else None,
             "step_gbytes_pass2": round(cost2['bytes'] / 1e9, 2) if cost2 else None,
             "step_gflops_pass1": round(cost1['flops'] / 1e9, 2) if cost1 else None,
+            "step_gbytes_pass1": round(cost1['bytes'] / 1e9, 2) if cost1 else None,
             "mfu_pct": _mfu(iters_per_sec, cost2),
             "mfu_pct_pass1": _mfu(pass1_rate, cost1),
             "mfu_note": "XLA cost-analysis FLOPs vs 197 TFLOP/s v5e bf16 peak; "
