@@ -9,6 +9,7 @@ from its own repo root; we default to the mounted reference data)."""
 import argparse
 import json
 import os
+import sys
 
 DEFAULTS = dict(
     iter=5000,
@@ -131,10 +132,22 @@ def parse_flags(argv=None):
         # explicitly-passed CLI flags win over the config file (so
         # `--config spot.json -i 20` runs 20 iters); argparse defaults do
         # not.  The reference lets the config clobber the CLI — that makes
-        # short smoke runs impossible without editing configs.
-        for k, v in vars(args).items():
-            if v != parser.get_default(k):
-                FLAGS[k] = v
+        # short smoke runs impossible without editing configs.  Detect
+        # explicitness by PRESENCE in argv, not value != default: passing
+        # a flag at its default value (e.g. `--validate true` over a
+        # config that says false) must still win.
+        opt_to_dest = {}
+        for action in parser._actions:
+            for opt in action.option_strings:
+                opt_to_dest[opt] = action.dest
+        argv_eff = sys.argv[1:] if argv is None else argv
+        explicit = set()
+        for tok in argv_eff:
+            opt = tok.split('=', 1)[0]
+            if opt in opt_to_dest:
+                explicit.add(opt_to_dest[opt])
+        for k in explicit:
+            FLAGS[k] = getattr(args, k)
 
     if FLAGS['display_res'] is None:
         FLAGS['display_res'] = FLAGS['train_res']
