@@ -280,14 +280,17 @@ def _trace_kernel(lists_hbm, rayf_ref, trimat_hbm, occ_ref,
 @functools.partial(jax.jit, static_argnames=('ray_block', 'tmin', 'tmax',
                                              'interpret', 'sort_rays'))
 def any_hit_pallas(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
-                   ray_block=1024, interpret=False, sort_rays=True):
+                   ray_block=1024, interpret=False, sort_rays=False):
     """Pallas any-hit over a LeafBVH.  ro/rd: [R, 3].  Returns bool [R].
 
     sort_rays: stable counting-sort by (origin cell PRIMARY, direction
-    octant secondary) before blocking, unsorted on return.  Incoherent
-    ray sets (the in-train shade path pre-sorts its own rays; this serves
-    standalone callers) otherwise pay near-whole-scene visit-list unions
-    per block.  Exact — a permutation of a per-ray computation.
+    octant secondary) before blocking, unsorted on return.  Exact (a
+    permutation of a per-ray computation) but default OFF: measured on
+    the 5856-tri spot bench at 2M incoherent rays, the sort+permute
+    overhead HALVES throughput (14.9 -> 7.8 Mrays/s) — at 46 leaves the
+    visit-union saving cannot amortize two counting sorts plus a [R,16]
+    permute.  Worth revisiting for large scenes; the in-train shade path
+    does its own pixel sort either way.
 
     Note: tmax is accepted for interface parity but shadow rays are treated
     as infinite (reference uses tmax=1e16, torch_bindings.cpp:109)."""
