@@ -499,10 +499,18 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
         if save_image_now or display_now:
             vt = prepare_batch(next(v_it), FLAGS['train_res'],
                                FLAGS['background'], kb, FLAGS)
-            result_image, _ = validate_itr(
+            result_image, rd_probe = validate_itr(
                 vt, dataset_validate.getMesh(), geometry, params['geo'],
                 params['mat'], mat_static, params['light'], FLAGS,
                 denoiser_on)
+            # convergence probe: PSNR of this one validation view, logged
+            # so a diverging run is visible at the first snapshot instead
+            # of after the full budget (QUALITY.md round-4 post-mortem)
+            p_mse = float(np.mean(
+                (np.clip(np.asarray(rd_probe['opt']), 0, 1)
+                 - np.clip(np.asarray(rd_probe['ref']), 0, 1)) ** 2))
+            print('[probe] iter=%d val-view PSNR %.2f dB'
+                  % (it, float(vecmath.mse_to_psnr(p_mse))), flush=True)
             if display_now:
                 display_image(np.asarray(result_image),
                               title='%d / %d' % (it, FLAGS['iter']),
