@@ -119,6 +119,10 @@ def parse_flags(argv=None):
                         default=DEFAULTS['data_root'])
     parser.add_argument('--micro-batch', type=int,
                         default=DEFAULTS['micro_batch'])
+    parser.add_argument('--checkpoint-interval', type=int,
+                        default=DEFAULTS['checkpoint_interval'])
+    parser.add_argument('--resume', type=lambda s: s.lower() != 'false',
+                        default=DEFAULTS['resume'])
     args = parser.parse_args(argv)
 
     FLAGS = dict(DEFAULTS)
