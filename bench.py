@@ -201,11 +201,17 @@ def bench_train(iters=12, trace_dir=None):
     return rate, cost
 
 
-def bench_pass1(iters=8, trace_dir=None):
+def bench_pass1(iters=8, trace_dir=None, annealed=False):
     """Pass-1 (DMTet + hashgrid MLP texture) train step rate at 512^2,
     batch 1, n_samples 4 on a bob-like setup (VERDICT r2 item 5): the other
     half of every real training run, exercising marching tets + the hash
-    encoding + per-iteration BVH rebuild."""
+    encoding + per-iteration BVH rebuild.
+
+    annealed=True replaces the random-SDF init with a sphere SDF — the
+    mid-training geometry state.  The random init is a volume-filling
+    77k-triangle noise cloud whose per-block visit-list unions degenerate
+    the tracer to brute force (PERF_NOTES round-4 addendum); it dominates
+    only the first ~10% of a real run, so both phases are reported."""
     import train as train_mod
     from nvdiffrecmc_tpu.geometry import DMTetGeometry
     from nvdiffrecmc_tpu.render import light as light_mod
@@ -229,7 +235,14 @@ def bench_pass1(iters=8, trace_dir=None):
     geo_consts = geometry.consts() if hasattr(geometry, 'consts') else None
 
     opt = optax.adam(1e-2)
-    params = {'geo': geometry.parameters(), 'mat': mat_params,
+    geo_params = geometry.parameters()
+    if annealed:
+        # sphere of radius 0.35*scale centered at the origin: a smooth
+        # closed surface like a mid-training shape (~10-15k triangles)
+        geo_params = dict(geo_params)
+        geo_params['sdf'] = (jnp.linalg.norm(geometry.verts, axis=-1)
+                             - 0.35 * 2.1)
+    params = {'geo': geo_params, 'mat': mat_params,
               'light': light_base}
     opt_state = opt.init(params)
 
@@ -303,7 +316,10 @@ def main():
     iters_per_sec, cost2 = bench_train()
     _note('pass-2 %.3f iter/s; pass-1 train bench...' % iters_per_sec, t_start)
     pass1_rate, cost1 = bench_pass1()
-    _note('pass-1 %.3f iter/s' % pass1_rate, t_start)
+    _note('pass-1 %.3f iter/s; pass-1 annealed bench...' % pass1_rate,
+          t_start)
+    pass1_ann_rate, _ = bench_pass1(annealed=True)
+    _note('pass-1 annealed %.3f iter/s' % pass1_ann_rate, t_start)
     out = {
         "metric": "train_iters_per_sec_spot_b1_512_n4",
         "value": round(iters_per_sec, 4),
@@ -311,6 +327,10 @@ def main():
         "vs_baseline": round(iters_per_sec / REF_A6000_ITERS_PER_SEC_ESTIMATE, 4),
         "extra": {
             "pass1_dmtet_hashgrid_iters_per_sec": round(pass1_rate, 4),
+            "pass1_annealed_iters_per_sec": round(pass1_ann_rate, 4),
+            "pass1_note": "pass1 = random-SDF init (blob transient, worst "
+                          "case); pass1_annealed = sphere SDF (mid-training "
+                          "geometry, the steady state of a real run)",
             "shadow_Mrays_per_sec": round(mrays, 2),
             "backend": jax.default_backend(),
             "bench_wall_s": round(time.time() - t_start, 1),

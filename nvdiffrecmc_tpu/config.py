@@ -69,8 +69,15 @@ DEFAULTS = dict(
     lambda_specular=0.0025,
     # TPU-framework extensions
     data_root='/root/reference',
-    resume=False,
+    resume=True,
     checkpoint_interval=0,
+    # The reference tuned its absolute-iteration schedules (shadow ramp
+    # it/1750, train.py:340-343 + dmtet.py:220-223; lr decay 10^(-0.0002*it),
+    # train.py:340) jointly for a 5000-iter budget.  With scale_schedules on
+    # (default) both are rescaled proportionally to FLAGS['iter'] so reduced
+    # budgets train and validate under the same effective schedule; at
+    # iter == 5000 the values are exactly the reference's.
+    scale_schedules=True,
     # split each optimizer step into batch/micro_batch gradient programs,
     # accumulated on device: keeps every XLA program under the TPU worker
     # watchdog (~20 s, PERF_NOTES.md) at nerf-scale batch x 800^2 workloads.
@@ -82,8 +89,24 @@ DEFAULTS = dict(
 )
 
 
+def strtobool(s):
+    """Strict bool converter for CLI flags: accepts the usual spellings,
+    rejects anything else (so `--resume 0` disables resume instead of
+    silently enabling it)."""
+    v = str(s).strip().lower()
+    if v in ('1', 'true', 't', 'yes', 'y', 'on'):
+        return True
+    if v in ('0', 'false', 'f', 'no', 'n', 'off'):
+        return False
+    raise argparse.ArgumentTypeError('expected a boolean, got %r' % s)
+
+
 def parse_flags(argv=None):
-    parser = argparse.ArgumentParser(description='nvdiffrecmc_tpu')
+    # allow_abbrev=False: explicit-CLI detection below matches raw argv
+    # tokens against full option strings; prefix abbreviations would parse
+    # but dodge the match and let the config silently override them.
+    parser = argparse.ArgumentParser(description='nvdiffrecmc_tpu',
+                                     allow_abbrev=False)
     parser.add_argument('-i', '--iter', type=int, default=5000)
     parser.add_argument('-b', '--batch', type=int, default=1)
     parser.add_argument('-s', '--spp', type=int, default=1)
@@ -107,8 +130,7 @@ def parse_flags(argv=None):
     parser.add_argument('--config', type=str, default=None)
     parser.add_argument('-rm', '--ref_mesh', type=str)
     parser.add_argument('-bm', '--base-mesh', type=str, default=None)
-    parser.add_argument('--validate', type=lambda s: s.lower() != 'false',
-                        default=True)
+    parser.add_argument('--validate', type=strtobool, default=True)
     parser.add_argument('--n_samples', type=int, default=4)
     parser.add_argument('--bsdf', type=str, default='pbr',
                         choices=['pbr', 'diffuse', 'white'])
@@ -121,8 +143,16 @@ def parse_flags(argv=None):
                         default=DEFAULTS['micro_batch'])
     parser.add_argument('--checkpoint-interval', type=int,
                         default=DEFAULTS['checkpoint_interval'])
-    parser.add_argument('--resume', type=lambda s: s.lower() != 'false',
-                        default=DEFAULTS['resume'])
+    parser.add_argument('--resume', type=strtobool,
+                        default=DEFAULTS['resume'],
+                        help='resume from <out_dir>/checkpoint_*.pkl when '
+                             'present (default on).  Note: the checkpoint '
+                             'stores params/opt_state/iteration only — a '
+                             'resumed run re-seeds the batch shuffle and '
+                             'noise streams, so it is statistically, not '
+                             'bitwise, continuous with the original.')
+    parser.add_argument('--scale-schedules', type=strtobool,
+                        default=DEFAULTS['scale_schedules'])
     args = parser.parse_args(argv)
 
     FLAGS = dict(DEFAULTS)
@@ -153,6 +183,8 @@ def parse_flags(argv=None):
         for k in explicit:
             FLAGS[k] = getattr(args, k)
 
+    apply_schedule_scaling(FLAGS)
+
     if FLAGS['display_res'] is None:
         FLAGS['display_res'] = FLAGS['train_res']
     if FLAGS['out_dir'] is None:
@@ -160,6 +192,30 @@ def parse_flags(argv=None):
             FLAGS['out_root'], 'cube_%d' % FLAGS['train_res'][0])
     else:
         FLAGS['out_dir'] = os.path.join(FLAGS['out_root'], FLAGS['out_dir'])
+    return FLAGS
+
+
+REFERENCE_BUDGET = 5000        # the iter count the reference's schedules
+REFERENCE_SHADOW_RAMP = 1750.0  # assume (train.py:340-343, dmtet.py:220)
+REFERENCE_LR_DECAY = 0.0002     # 10^(-rate*it): 1.0 -> 0.1 over 5000 iters
+
+
+def apply_schedule_scaling(FLAGS):
+    """Derive the effective schedule constants for this budget.
+
+    shadow_ramp_iters: shadow/denoiser influence ramps 0->1 over this many
+    iterations; lr_decay_rate: lr = 10^(-rate * it) after warmup.  With
+    scale_schedules (default) both scale with FLAGS['iter'] / 5000 so a
+    300-iter run ramps shadows over 105 iters and ends at lr*0.1, exactly
+    like the reference's 5000-iter run does in proportion.  At iter == 5000,
+    or with scale_schedules false, the reference constants are used
+    verbatim."""
+    if FLAGS.get('scale_schedules', True):
+        s = max(FLAGS['iter'], 1) / float(REFERENCE_BUDGET)
+    else:
+        s = 1.0
+    FLAGS['shadow_ramp_iters'] = REFERENCE_SHADOW_RAMP * s
+    FLAGS['lr_decay_rate'] = REFERENCE_LR_DECAY / s
     return FLAGS
 
 

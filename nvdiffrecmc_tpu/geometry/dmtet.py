@@ -369,7 +369,10 @@ class DMTetGeometry:
         color_ref = target['img']
 
         opt_mesh, bvh = self.getMesh(params, material)
-        shadow_ramp = jnp.minimum(iteration / 1750.0, 1.0)
+        # budget-scaled: it/1750 at the reference's 5000-iter budget
+        # (reference dmtet.py:220), proportional otherwise (config.py)
+        shadow_ramp = jnp.minimum(
+            iteration / FLAGS.get('shadow_ramp_iters', 1750.0), 1.0)
 
         buffers = render_mod.render_mesh(
             FLAGS, opt_mesh, target['mvp'], target['campos'], lgt,

@@ -203,6 +203,9 @@ def scatter_add_t(idx, vals_t, out_rows, *, tile=512, blk=2048,
     value columns with one lane-axis gather ([C, M] take is bandwidth-bound,
     ~0.2 ms at 524k x 52 on v5e — a C-operand variadic sort is not), then
     runs the binned kernel.  CPU falls back to the XLA twin."""
+    # f32 accumulation contract: every path (kernel, CPU twin, M==0)
+    # returns float32 so the output dtype never depends on dispatch.
+    vals_t = vals_t.astype(jnp.float32)
     if jax.default_backend() == 'cpu' and not interpret:
         return scatter_add_t_ref(idx, vals_t, out_rows)
     M = idx.shape[0]
@@ -211,12 +214,13 @@ def scatter_add_t(idx, vals_t, out_rows, *, tile=512, blk=2048,
     # Auto-raise the bin size when out_rows would overflow the 15-bit bin
     # budget of the packed work items (tile=512 caps out_rows at ~16.7M —
     # a 4096^2 texture pyramid adjoint needs ~22M).  Lane-dim blocks only
-    # need tile % 128 == 0; cap at 1024 so the kernel's (tile, blk) one-hot
-    # stays within the VMEM budget it was sized for (~4 MB at 512x2048),
-    # and fall back to the XLA twin beyond that.
+    # need tile % 128 == 0; cap at 1024, halving blk in step so the
+    # kernel's (tile, blk) one-hot VMEM footprint stays at the ~4 MB it
+    # was sized for (512x2048), and fall back to the XLA twin beyond that.
     while (-(-out_rows // tile) + 1 >= (1 << (31 - _GBITS))
            and tile < 1024):
         tile *= 2
+        blk = max(blk // 2, 512)
     if (-(-out_rows // tile) + 1 >= (1 << (31 - _GBITS))
             or -(-M // blk) >= _EMPTY):
         return scatter_add_t_ref(idx, vals_t, out_rows)  # beyond packing

@@ -138,6 +138,22 @@ def any_hit(ro, rd, bvh: LeafBVH, tmin=1e-4, tmax=1e16,
     return occ
 
 
+# (ray, leaf) candidate pairs dropped past the k_pairs cap by the jnp
+# occlusion path, accumulated host-side via jax.debug.callback — a dropped
+# pair can silently un-shadow a pixel, so overflow must be loud.  Tests
+# reset/inspect this; production prints a warning per offending launch.
+OCCLUSION_DROPPED_PAIRS = [0]
+
+
+def _note_dropped(dropped):
+    d = int(dropped)
+    if d > 0:
+        OCCLUSION_DROPPED_PAIRS[0] += d
+        print('WARNING: jnp occlusion dropped %d (ray, leaf) candidate '
+              'pairs past the k_pairs cap — shadows may be missing; raise '
+              'k_pairs (tracer.make_occlusion_fn)' % d, flush=True)
+
+
 def make_occlusion_fn(backend='jnp', tmin=0.0, ray_chunk=65536, k_pairs=16):
     """Return a custom-vjp occlusion function occ(ro, rd, bvh) -> bool [R]
     with an explicitly-zero backward pass.
@@ -152,8 +168,10 @@ def make_occlusion_fn(backend='jnp', tmin=0.0, ray_chunk=65536, k_pairs=16):
         if backend == 'pallas':
             from .pallas_tracer import any_hit_pallas
             return any_hit_pallas(ro, rd, bvh, tmin=tmin)
-        return any_hit(ro, rd, bvh, tmin=tmin, ray_chunk=ray_chunk,
-                       k_pairs=k_pairs)
+        occ, dropped = any_hit_counted(ro, rd, bvh, tmin=tmin,
+                                       ray_chunk=ray_chunk, k_pairs=k_pairs)
+        jax.debug.callback(_note_dropped, dropped)
+        return occ
 
     def fwd(ro, rd, bvh):
         return occlusion(ro, rd, bvh), (ro, rd, bvh)

@@ -110,11 +110,11 @@ def test_render_eval_staged_runs():
               'resolution': (RES, RES)}
     buffers = train_mod.render_eval(
         geometry, geometry.parameters(), mat_params, mat_static, light_base,
-        target, FLAGS, denoiser_on=False, n_samples=8)
+        target, FLAGS, n_samples=8)
     assert np.all(np.isfinite(np.asarray(buffers['shaded'])))
     kd = train_mod.render_eval(
         geometry, geometry.parameters(), mat_params, mat_static, light_base,
-        target, FLAGS, denoiser_on=False, n_samples=8, bsdf='kd')
+        target, FLAGS, n_samples=8, bsdf="kd")
     assert np.all(np.isfinite(np.asarray(kd['shaded'])))
 
 

@@ -1,0 +1,38 @@
+#!/bin/bash
+# Supervised spot quality run (VERDICT round-5 item 1 + 5).
+#
+# Runs the full two-pass spot recovery under the stall watchdog: train.py
+# exits rc=3 when a device->host sync wedges (dead axon tunnel, round-4
+# post-mortem in QUALITY.md); this loop restarts it, and --resume
+# (default-on) continues from the last periodic checkpoint instead of
+# losing the run.  FRESH=1 (default) clears the output dir first so stale
+# checkpoints from older attempts can't be silently resumed.
+#
+# Usage: FRESH=1 ITERS=300 bash tools/run_quality_spot.sh
+set -u
+cd "$(dirname "$0")/.."
+
+OUT=out/${OUT_NAME:-spot}
+if [ "${FRESH:-1}" = "1" ]; then
+  echo "[supervisor] fresh start: clearing $OUT"
+  rm -rf "$OUT"
+fi
+
+for attempt in $(seq 1 "${MAX_RESTARTS:-12}"); do
+  echo "[supervisor] attempt $attempt at $(date -u +%H:%M:%S)"
+  timeout "${ATTEMPT_TIMEOUT:-18000}" python train.py \
+      --config "${CONFIG:-configs/spot.json}" \
+      -i "${ITERS:-300}" --validate true \
+      --save-interval "${SAVE_INTERVAL:-50}" \
+      --checkpoint-interval "${CKPT_INTERVAL:-25}" \
+      ${EXTRA_FLAGS:-}
+  rc=$?
+  echo "[supervisor] attempt $attempt exited rc=$rc at $(date -u +%H:%M:%S)"
+  if [ $rc -eq 0 ]; then
+    echo "[supervisor] run complete"
+    exit 0
+  fi
+  sleep 30
+done
+echo "[supervisor] giving up after ${MAX_RESTARTS:-12} attempts"
+exit 1

@@ -52,6 +52,48 @@ from nvdiffrecmc_tpu.render.texture import save_image
 RADIUS = 3.0
 
 
+###############################################################################
+# Stall watchdog (round-4 post-mortem, QUALITY.md: a dead tunnel blocked the
+# per-iteration host sync forever and the run hung 25 minutes until killed
+# by hand.  Every blocking device->host transfer in the train loop now runs
+# under a timeout; on expiry the run exits nonzero so a supervisor loop can
+# restart it — resume is default-on, so the rerun continues from the last
+# checkpoint instead of hanging.)
+###############################################################################
+
+class StallError(RuntimeError):
+    """A device->host sync exceeded its watchdog deadline."""
+
+
+_SYNC_POOL = None
+
+
+def sync_with_watchdog(fn, timeout):
+    """Run fn() (a blocking host sync) in a worker thread; raise StallError
+    if it does not complete within `timeout` seconds.  The abandoned thread
+    keeps blocking on the dead transfer — the pool is replaced so later
+    syncs are not queued behind it."""
+    global _SYNC_POOL
+    import concurrent.futures
+    if _SYNC_POOL is None:
+        _SYNC_POOL = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    fut = _SYNC_POOL.submit(fn)
+    try:
+        return fut.result(timeout=timeout)
+    except concurrent.futures.TimeoutError:
+        _SYNC_POOL = None  # orphan the blocked worker; fresh pool next call
+        raise StallError('host sync exceeded %.0f s watchdog' % timeout)
+
+
+def _stall_timeout(iter_dur_vec, floor=120.0, factor=10.0):
+    """Watchdog deadline: 10x the median recent iteration time, floored so
+    cold compiles (20-40 s) and tunnel hiccups never trip it."""
+    if iter_dur_vec:
+        med = float(np.median(iter_dur_vec[-20:]))
+        return max(floor, factor * med)
+    return 1800.0  # first iteration includes the full-step remote compile
+
+
 def display_image(image, title=None, out_dir='.'):
     """Live display: GLFW/OpenGL window when available (reference
     util.py:316-353); headless fallback writes out_dir/display.png."""
@@ -323,11 +365,16 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
         lr_pos = lr_mat = lr
         lr_lgt = lr * 3.0
 
+    # budget-scaled schedule constants (config.apply_schedule_scaling):
+    # reference values at iter==5000, proportional otherwise
+    lr_decay_rate = FLAGS.get('lr_decay_rate', 0.0002)
+    shadow_ramp_iters = FLAGS.get('shadow_ramp_iters', 1750.0)
+
     def lr_schedule(count):
         warm = jnp.where(warmup_iter > 0,
                          jnp.clip(count / max(warmup_iter, 1), 0.0, 1.0), 1.0)
         decay = jnp.power(10.0, -(jnp.maximum(count - warmup_iter, 0))
-                          * 0.0002)
+                          * lr_decay_rate)
         return jnp.where(count < warmup_iter, warm, decay)
 
     def adam(base_lr):
@@ -366,7 +413,7 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
         tables = light_mod.update_pdf(params['light'])
         lgt = {'base': params['light'], 'pdf': tables.pdf,
                'rows': tables.rows, 'cols': tables.cols}
-        shadow_ramp = jnp.minimum(it / 1750.0, 1.0)
+        shadow_ramp = jnp.minimum(it / shadow_ramp_iters, 1.0)
         # denoiser influence ramps with the shadow ramp in pass 1
         # (dmtet.py:220-221); pass 2 inherits full influence.
         if denoiser_on:
@@ -499,16 +546,28 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
         if save_image_now or display_now:
             vt = prepare_batch(next(v_it), FLAGS['train_res'],
                                FLAGS['background'], kb, FLAGS)
-            result_image, rd_probe = validate_itr(
-                vt, dataset_validate.getMesh(), geometry, params['geo'],
-                params['mat'], mat_static, params['light'], FLAGS,
-                denoiser_on)
+
+            def probe():
+                result_image, rd_probe = validate_itr(
+                    vt, dataset_validate.getMesh(), geometry, params['geo'],
+                    params['mat'], mat_static, params['light'], FLAGS)
+                p_mse = float(np.mean(
+                    (np.clip(np.asarray(rd_probe['opt']), 0, 1)
+                     - np.clip(np.asarray(rd_probe['ref']), 0, 1)) ** 2))
+                return np.asarray(result_image), p_mse
+
             # convergence probe: PSNR of this one validation view, logged
             # so a diverging run is visible at the first snapshot instead
-            # of after the full budget (QUALITY.md round-4 post-mortem)
-            p_mse = float(np.mean(
-                (np.clip(np.asarray(rd_probe['opt']), 0, 1)
-                 - np.clip(np.asarray(rd_probe['ref']), 0, 1)) ** 2))
+            # of after the full budget (QUALITY.md round-4 post-mortem).
+            # Watchdogged: the K-stage eval render is also a host-sync
+            # chain that hangs forever on a dead tunnel (first probe pays
+            # the eval-program compile, so the deadline is generous).
+            try:
+                result_image, p_mse = sync_with_watchdog(probe, 1800.0)
+            except StallError as e:
+                print('STALL in validation probe at iter %d (%s); exiting '
+                      'for supervised restart' % (it, e), flush=True)
+                os._exit(3)
             print('[probe] iter=%d val-view PSNR %.2f dB'
                   % (it, float(vecmath.mse_to_psnr(p_mse))), flush=True)
             if display_now:
@@ -525,8 +584,30 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
         t0 = time.time()
         params, opt_state, img_loss, reg_loss = train_step(
             params, opt_state, target, jnp.float32(it), ks_)
-        img_loss_f = float(img_loss)   # host sync: forces completion
-        reg_loss_f = float(reg_loss)
+        # host sync (forces completion) under the stall watchdog: a dead
+        # tunnel raises StallError instead of blocking forever
+        try:
+            img_loss_f, reg_loss_f = sync_with_watchdog(
+                lambda: (float(img_loss), float(reg_loss)),
+                _stall_timeout(iter_dur_vec))
+        except StallError as e:
+            print('STALL at iter %d (%s): attempting checkpoint, then '
+                  'exiting for supervised restart' % (it, e), flush=True)
+            # best effort: the previous iteration's params may still be
+            # fetchable if only this step's program wedged; bound the
+            # attempt so a fully dead tunnel cannot re-hang the exit.
+            try:
+                # if the params materialize, the step finished (only the
+                # sync path wedged) — label the checkpoint with this iter
+                sync_with_watchdog(
+                    lambda: save_checkpoint(ckpt_path, params, opt_state,
+                                            it),
+                    timeout=60.0)
+                print('checkpoint saved to %s' % ckpt_path, flush=True)
+            except Exception as ce:
+                print('checkpoint attempt failed (%s); resume will use the '
+                      'last periodic checkpoint' % ce, flush=True)
+            os._exit(3)
 
         if os.environ.get('NVDR_DEBUG_NAN'):
             flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -598,7 +679,7 @@ _EVAL_JIT_CACHE = {}
 
 
 def render_eval(geometry, geo_params, mat_params, mat_static, light_base,
-                target, FLAGS, denoiser_on, n_samples=32, bsdf=None):
+                target, FLAGS, n_samples=32, bsdf=None):
     """Jitted eval render (reference validate protocol: n_samples=32, no
     denoiser, train.py:260-264).  One compiled program per (geometry
     instance, material kind, n_samples, bsdf-override).
@@ -683,9 +764,9 @@ def render_eval(geometry, geo_params, mat_params, mat_static, light_base,
 
 
 def validate_itr(target, ref_mesh, geometry, geo_params, mat_params,
-                 mat_static, light_base, FLAGS, denoiser_on, n_samples=32):
+                 mat_static, light_base, FLAGS, n_samples=32):
     buffers = render_eval(geometry, geo_params, mat_params, mat_static,
-                          light_base, target, FLAGS, denoiser_on, n_samples)
+                          light_base, target, FLAGS, n_samples)
     result_dict = {
         'ref': vecmath.rgb_to_srgb(target['img'][0, ..., 0:3]),
         'opt': vecmath.rgb_to_srgb(buffers['shaded'][0, ..., 0:3]),
@@ -703,8 +784,7 @@ def validate_itr(target, ref_mesh, geometry, geo_params, mat_params,
             elif 'bsdf' in layer:
                 img = render_eval(geometry, geo_params, mat_params,
                                   mat_static, light_base, target, FLAGS,
-                                  denoiser_on, n_samples,
-                                  bsdf=layer['bsdf'])['shaded']
+                                  n_samples, bsdf=layer['bsdf'])['shaded']
                 img = img[0, ..., 0:3]
                 if layer['bsdf'] == 'kd':
                     img = vecmath.rgb_to_srgb(img)
@@ -724,8 +804,7 @@ def validate_itr(target, ref_mesh, geometry, geo_params, mat_params,
 
 
 def validate(geometry, geo_params, mat_params, mat_static, light_base,
-             dataset_validate, out_dir, FLAGS, denoiser_on,
-             max_frames=None):
+             dataset_validate, out_dir, FLAGS, max_frames=None):
     os.makedirs(out_dir, exist_ok=True)
     mse_values, psnr_values = [], []
     n = len(dataset_validate) if max_frames is None \
@@ -744,7 +823,7 @@ def validate(geometry, geo_params, mat_params, mat_static, light_base,
                                    FLAGS['background'], key, FLAGS)
             result_image, rd = validate_itr(
                 target, dataset_validate.getMesh(), geometry, geo_params,
-                mat_params, mat_static, light_base, FLAGS, denoiser_on)
+                mat_params, mat_static, light_base, FLAGS)
             opt = np.clip(np.asarray(rd['opt']), 0, 1)
             ref = np.clip(np.asarray(rd['ref']), 0, 1)
             mse = float(np.mean((opt - ref) ** 2))
@@ -769,6 +848,16 @@ def validate(geometry, geo_params, mat_params, mat_static, light_base,
 
 def main(argv=None):
     FLAGS = parse_flags(argv)
+    # fail fast if the device tunnel is wedged at startup: a dead axon
+    # worker blocks the first device op in tcp recv forever (observed
+    # pre-main, before the in-loop watchdog can help) — probe it under a
+    # bounded sync so the supervisor can restart instead of hanging.
+    try:
+        sync_with_watchdog(lambda: float(jnp.ones(()).sum()), 300.0)
+    except StallError as e:
+        print('STALL during device startup probe (%s); exiting for '
+              'supervised restart' % e, flush=True)
+        os._exit(3)
     print("Config / Flags:")
     print("---------")
     for key in sorted(FLAGS):
@@ -827,7 +916,7 @@ def main(argv=None):
             validate(geometry, params['geo'], params['mat'], mat_static,
                      params['light'], dataset_validate,
                      os.path.join(FLAGS['out_dir'], "dmtet_validate"), FLAGS,
-                     denoiser_on, max_frames=8)
+                     max_frames=8)
 
         # ---- pass boundary: extract mesh + bake textures
         base_mesh, baked = bake_textures(geometry, params['geo'],
@@ -876,7 +965,7 @@ def main(argv=None):
         validate(geometry, params['geo'], params['mat'], mat_static,
                  params['light'], dataset_validate,
                  os.path.join(FLAGS['out_dir'], "validate"), FLAGS,
-                 denoiser_on, max_frames=16)
+                 max_frames=16)
 
     # -- export (reference train.py:693-697)
     final_mesh, _ = geometry.getMesh(
