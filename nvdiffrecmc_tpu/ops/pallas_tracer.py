@@ -187,12 +187,23 @@ def _mask_to_lists(mask_rows):
 # ---------------------------------------------------------------------------
 
 def _trace_kernel(lists_hbm, rayf_ref, trimat_hbm, occ_ref,
-                  tri_vmem, lst, sems, lsem, *, leaf_size, tmin, tri_dtype):
+                  tri_vmem, lst, sems, lsem, *, leaf_size, tmin, tri_dtype,
+                  leaf_batch):
     """Visit lists live in HBM (SMEM on this chip is ~1 MB — whole-array
     scalar prefetch does not scale); each block DMAs its own list row into
-    an SMEM scratch, then walks it with pure scalar control flow."""
+    an SMEM scratch, then walks it with pure scalar control flow.
+
+    Round-5 epilogue diet: (a) occlusion accumulates as an [RB, L] lane
+    mask with ONE elementwise or per visit; the cross-lane max-reduce
+    (log2(L) shuffle steps per visit in the old kernel) runs once after
+    the loop — bit-identical for a monotone accumulator.  (b) leaves are
+    fetched leaf_batch (KL) at a time into lane slices of one buffer, so
+    the fori_loop trip count and DMA waits amortize over KL leaves; the
+    matmul stays per-leaf to keep the E temporary at [RB, 5L]."""
     RB = rayf_ref.shape[0]
     L = leaf_size
+    FL = N_FIELDS * L
+    KL = leaf_batch
     i = pl.program_id(0)
 
     ldma = pltpu.make_async_copy(lists_hbm.at[i], lst, lsem)
@@ -210,12 +221,44 @@ def _trace_kernel(lists_hbm, rayf_ref, trimat_hbm, occ_ref,
         return lst[jax.lax.div(k, W), jax.lax.rem(k, W)]
 
     def dma(slot, j):
+        # early-exit path (leaf_batch forced to 1): whole-buffer copies
         return pltpu.make_async_copy(
-            trimat_hbm.at[leaf_id(j)], tri_vmem.at[slot], sems.at[slot])
+            trimat_hbm.at[leaf_id(j)], tri_vmem.at[slot], sems.at[slot, 0])
+
+    def dma_k(slot, r, k):
+        # leaf k of round r -> lane slice k of buffer `slot`
+        return pltpu.make_async_copy(
+            trimat_hbm.at[leaf_id(r * KL + k)],
+            tri_vmem.at[slot, :, pl.ds(k * FL, FL)],
+            sems.at[slot, k])
 
     @pl.when(n > 0)
     def _():
-        dma(0, 0).start()
+        if not _early_exit_on():
+            n_r = jax.lax.div(n + (KL - 1), KL)
+            for k in range(KL):
+                dma_k(0, 0, k).start()
+
+            def visit(r, acc):
+                slot = jax.lax.rem(r, 2)
+
+                @pl.when(r + 1 < n_r)
+                def _():
+                    for k in range(KL):
+                        dma_k(1 - slot, r + 1, k).start()
+
+                for k in range(KL):
+                    dma_k(slot, r, k).wait()
+                    E = jnp.dot(rayf,
+                                tri_vmem[slot, :, k * FL:(k + 1) * FL],
+                                preferred_element_type=jnp.float32)
+                    acc = jnp.logical_or(acc, decode_hits(E, L, tmin=tmin))
+                return acc
+
+            acc = jax.lax.fori_loop(0, n_r, visit,
+                                    jnp.zeros((RB, L), jnp.bool_))
+            occ_ref[:, 0] = jnp.max(acc.astype(jnp.float32), axis=-1)
+            return
 
         def visit(j, oc):
             slot = jax.lax.rem(j, 2)
@@ -225,56 +268,50 @@ def _trace_kernel(lists_hbm, rayf_ref, trimat_hbm, occ_ref,
                 dma(1 - slot, j + 1).start()
 
             dma(slot, j).wait()
-            E = jnp.dot(rayf, tri_vmem[slot],
+            E = jnp.dot(rayf, tri_vmem[slot, :, 0:FL],
                         preferred_element_type=jnp.float32)   # [RB, 5L]
             hit = decode_hits(E, L, tmin=tmin)
             return jnp.maximum(
                 oc, jnp.max(hit.astype(jnp.float32), axis=-1,
                             keepdims=True))
 
-        if not _early_exit_on():
-            n_lim = n
+        # Early exit on all-occluded, checked once per group of G
+        # leaves: any-hit is monotone, so once every ray in the block
+        # is occluded the remaining leaves cannot change the answer.
+        # The check is a vector->scalar sync (~2.3 us) AND a
+        # serialization point for the software pipeline, so it must
+        # NOT be per-leaf (measured: per-leaf checks cost 26% tracer
+        # throughput).  The visit count is padded to a multiple of G
+        # with clamped/zero list entries — redundant leaf re-visits
+        # are harmless for a monotone accumulator and cheaper than a
+        # tail loop.
+        n_g = jax.lax.div(n + (EXIT_GROUP - 1), EXIT_GROUP)
+        n_lim = n_g * EXIT_GROUP
+
+        def cond(c):
+            g, done, _ = c
+            return (g < n_g) & (done == 0)
+
+        def gbody(c):
+            g, _, occ_col = c
             occ_col = jax.lax.fori_loop(
-                0, n, visit, jnp.zeros((RB, 1), jnp.float32))
-            occ_ref[:, 0] = occ_col[:, 0]
-        else:
-            # Early exit on all-occluded, checked once per group of G
-            # leaves: any-hit is monotone, so once every ray in the block
-            # is occluded the remaining leaves cannot change the answer.
-            # The check is a vector->scalar sync (~2.3 us) AND a
-            # serialization point for the software pipeline, so it must
-            # NOT be per-leaf (measured: per-leaf checks cost 26% tracer
-            # throughput).  The visit count is padded to a multiple of G
-            # with clamped/zero list entries — redundant leaf re-visits
-            # are harmless for a monotone accumulator and cheaper than a
-            # tail loop.
-            n_g = jax.lax.div(n + (EXIT_GROUP - 1), EXIT_GROUP)
-            n_lim = n_g * EXIT_GROUP
+                0, EXIT_GROUP,
+                lambda i, oc: visit(g * EXIT_GROUP + i, oc), occ_col)
+            done = (jnp.sum(occ_col) >= RB).astype(jnp.int32)
+            return (g + 1, done, occ_col)
 
-            def cond(c):
-                g, done, _ = c
-                return (g < n_g) & (done == 0)
+        g_end, done, occ_col = jax.lax.while_loop(
+            cond, gbody, (jnp.int32(0), jnp.int32(0),
+                          jnp.zeros((RB, 1), jnp.float32)))
+        occ_ref[:, 0] = occ_col[:, 0]
 
-            def gbody(c):
-                g, _, occ_col = c
-                occ_col = jax.lax.fori_loop(
-                    0, EXIT_GROUP,
-                    lambda i, oc: visit(g * EXIT_GROUP + i, oc), occ_col)
-                done = (jnp.sum(occ_col) >= RB).astype(jnp.int32)
-                return (g + 1, done, occ_col)
+        # drain the prefetch issued for the next group's first leaf
+        # when we exited early
+        j_next = g_end * EXIT_GROUP
 
-            g_end, done, occ_col = jax.lax.while_loop(
-                cond, gbody, (jnp.int32(0), jnp.int32(0),
-                              jnp.zeros((RB, 1), jnp.float32)))
-            occ_ref[:, 0] = occ_col[:, 0]
-
-            # drain the prefetch issued for the next group's first leaf
-            # when we exited early
-            j_next = g_end * EXIT_GROUP
-
-            @pl.when(j_next < n_lim)
-            def _():
-                dma(jax.lax.rem(j_next, 2), j_next).wait()
+        @pl.when(j_next < n_lim)
+        def _():
+            dma(jax.lax.rem(j_next, 2), j_next).wait()
 
 
 @functools.partial(jax.jit, static_argnames=('ray_block', 'tmin', 'tmax',
@@ -325,6 +362,13 @@ def any_hit_pallas(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
     return occ[:R]
 
 
+def default_leaf_batch():
+    """Leaves fetched per DMA round in the streaming trace loops
+    (NVDR_LEAF_BATCH to A/B; must divide into the EXIT_GROUP slack)."""
+    import os
+    return max(1, min(8, int(os.environ.get('NVDR_LEAF_BATCH', '4'))))
+
+
 def trace_rayf(rayf, bvh: LeafBVH, tmin=0.0, tmax=1e16, ray_block=1024,
                interpret=False):
     """Core any-hit on prebuilt ray features [Rp, 16] (Rp % ray_block == 0).
@@ -333,6 +377,7 @@ def trace_rayf(rayf, bvh: LeafBVH, tmin=0.0, tmax=1e16, ray_block=1024,
     NB = Rp // ray_block
     C = bvh.n_leaves
     L = bvh.leaf_size
+    KL = 1 if _early_exit_on() else default_leaf_batch()
 
     mask_rows = visit_masks_od(rayf[:, 6:9], rayf[:, 0:3], bvh.aabb_lo,
                                bvh.aabb_hi, ray_block, tmin, tmax)
@@ -340,15 +385,16 @@ def trace_rayf(rayf, bvh: LeafBVH, tmin=0.0, tmax=1e16, ray_block=1024,
     merged = jnp.concatenate([counts[:, None], lists], axis=1)  # [NB, 1+C]
     # DMA slices need (8, 128k) tile alignment: lay each block's list out as
     # an [8, Cl/8] tile (row-major entries; kernel reads lst[k//W, k%W]).
-    # + EXIT_GROUP slack: the kernel rounds visits up to a group multiple
-    # (padding entries are zeros -> redundant leaf-0 visits, harmless)
+    # + EXIT_GROUP slack: the kernel rounds visits up to a group/leaf-batch
+    # multiple (padding entries are zeros -> redundant leaf-0 visits,
+    # harmless)
     Cl = ((merged.shape[1] + EXIT_GROUP + 1023) // 1024) * 1024
     merged = jnp.pad(merged, ((0, 0), (0, Cl - merged.shape[1])))
     merged = merged.reshape(NB, 8, Cl // 8)
 
     occ = pl.pallas_call(
         functools.partial(_trace_kernel, leaf_size=L, tmin=tmin,
-                          tri_dtype=bvh.tri_mat.dtype),
+                          tri_dtype=bvh.tri_mat.dtype, leaf_batch=KL),
         grid=(NB,),
         out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
         in_specs=[
@@ -360,9 +406,9 @@ def trace_rayf(rayf, bvh: LeafBVH, tmin=0.0, tmax=1e16, ray_block=1024,
         out_specs=pl.BlockSpec((ray_block, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, K_FEATS, N_FIELDS * L), bvh.tri_mat.dtype),
+            pltpu.VMEM((2, K_FEATS, KL * N_FIELDS * L), bvh.tri_mat.dtype),
             pltpu.SMEM((8, Cl // 8), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, KL)),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -76,10 +76,14 @@ def test_watchdog_raises_on_stall_and_recovers():
     assert time.time() - t0 < 5.0
 
 
-def test_stall_timeout_scales_with_median():
-    assert train_mod._stall_timeout([]) == 900.0            # compile window
+def test_stall_timeout_scales_with_median(monkeypatch):
+    monkeypatch.delenv('NVDR_STALL_FLOOR', raising=False)
+    assert train_mod._stall_timeout([]) == 1800.0           # compile window
     assert train_mod._stall_timeout([0.1] * 20) == 120.0    # floor
     assert np.isclose(train_mod._stall_timeout([60.0] * 20), 600.0)
+    monkeypatch.setenv('NVDR_STALL_FLOOR', '3')
+    assert train_mod._stall_timeout([]) == 3.0              # test hook
+    assert train_mod._stall_timeout([0.1] * 20) == 3.0
 
 
 # ---------------------------------------------------------------------------

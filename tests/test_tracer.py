@@ -1,6 +1,7 @@
 """Shadow tracer correctness: wavefront BVH any-hit vs brute-force
 Moller-Trumbore twin on random meshes and rays."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,6 +95,36 @@ def test_pallas_kernel_interpret_matches_bruteforce():
     got = np.asarray(any_hit_pallas(ro, rd, bvh, ray_block=128, interpret=True))
     want = np.asarray(tracer.any_hit_bruteforce(
         ro, rd, v[t[:, 0]], v[t[:, 1]], v[t[:, 2]], tmin=0.0))
+    assert (got == want).mean() > 0.99
+
+
+@pytest.mark.parametrize('leaf_batch,early_exit',
+                         [('1', '0'), ('2', '0'), ('8', '0'), ('4', '1')])
+def test_pallas_kernel_leaf_batch_variants(monkeypatch, leaf_batch,
+                                           early_exit):
+    """The streaming-loop variants (leaf_batch rounds with deferred lane
+    reduce; early-exit groups) all agree with the one-leaf result."""
+    from nvdiffrecmc_tpu.ops import pallas_tracer
+    v, t = icosphere_like(96, seed=7)
+    bvh = bvh_mod.build(v, t, leaf_size=16)
+    rng = np.random.RandomState(6)
+    R = 256
+    ro = jnp.asarray(rng.uniform(-2, 2, (R, 3)).astype(np.float32))
+    rd = rng.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    want = np.asarray(tracer.any_hit_bruteforce(
+        ro, rd, v[t[:, 0]], v[t[:, 1]], v[t[:, 2]], tmin=0.0))
+
+    monkeypatch.setenv('NVDR_LEAF_BATCH', leaf_batch)
+    monkeypatch.setenv('NVDR_EARLY_EXIT', early_exit)
+    # trace_rayf reads the env at trace time; bypass any_hit_pallas's jit
+    # cache (same static args would otherwise reuse the old trace)
+    rayf = bvh_mod.ray_features(ro, rd)
+    pad = (-R) % 128
+    rayf = jnp.pad(rayf, ((0, pad), (0, 0)))
+    got = np.asarray(pallas_tracer.trace_rayf(
+        rayf, bvh, ray_block=128, interpret=True))[:R]
     assert (got == want).mean() > 0.99
 
 

@@ -18,7 +18,32 @@ if [ "${FRESH:-1}" = "1" ]; then
   rm -rf "$OUT"
 fi
 
+# The axon tunnel relay (127.0.0.1:8113 = remote_compile) dies with the
+# TPU worker and can stay down for minutes; don't burn restart attempts
+# against a dead tunnel — wait for the port to accept first.
+wait_tunnel() {
+  for i in $(seq 1 "${TUNNEL_WAIT_MIN:-120}"); do
+    if python - <<'EOF'
+import socket, sys
+s = socket.socket()
+s.settimeout(5)
+try:
+    s.connect(('127.0.0.1', 8113)); sys.exit(0)
+except OSError:
+    sys.exit(1)
+finally:
+    s.close()
+EOF
+    then return 0; fi
+    [ "$i" = 1 ] && echo "[supervisor] tunnel down; waiting (up to ${TUNNEL_WAIT_MIN:-120} min)"
+    sleep 60
+  done
+  echo "[supervisor] tunnel still down after ${TUNNEL_WAIT_MIN:-120} min"
+  return 1
+}
+
 for attempt in $(seq 1 "${MAX_RESTARTS:-12}"); do
+  wait_tunnel || exit 2
   echo "[supervisor] attempt $attempt at $(date -u +%H:%M:%S)"
   timeout "${ATTEMPT_TIMEOUT:-18000}" python train.py \
       --config "${CONFIG:-configs/spot.json}" \

@@ -31,6 +31,12 @@ jax.config.update('jax_compilation_cache_dir', host_cache_dir(
     os.environ.get('JAX_CACHE_DIR', '/root/.jax_cache')))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
+# the axon TPU plugin registers via sitecustomize and ignores the
+# JAX_PLATFORMS env var; honor it here so CPU runs (tests, debugging)
+# never dial the tunnel (see tests/conftest.py for the same workaround)
+if os.environ.get('JAX_PLATFORMS') == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
+
 import jax.numpy as jnp
 import optax
 
@@ -87,11 +93,15 @@ def sync_with_watchdog(fn, timeout):
 
 def _stall_timeout(iter_dur_vec, floor=120.0, factor=10.0):
     """Watchdog deadline: 10x the median recent iteration time, floored so
-    cold compiles (20-40 s) and tunnel hiccups never trip it."""
+    cold compiles (20-40 s) and tunnel hiccups never trip it.
+    NVDR_STALL_FLOOR overrides the floor (test hook)."""
+    floor = float(os.environ.get('NVDR_STALL_FLOOR', floor))
     if iter_dur_vec:
         med = float(np.median(iter_dur_vec[-20:]))
         return max(floor, factor * med)
-    return 1800.0  # first iteration includes the full-step remote compile
+    # first iteration includes the full-step remote compile
+    return max(floor, 1800.0 if 'NVDR_STALL_FLOOR' not in os.environ
+               else floor)
 
 
 def display_image(image, title=None, out_dir='.'):
@@ -585,11 +595,16 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
         params, opt_state, img_loss, reg_loss = train_step(
             params, opt_state, target, jnp.float32(it), ks_)
         # host sync (forces completion) under the stall watchdog: a dead
-        # tunnel raises StallError instead of blocking forever
+        # tunnel raises StallError instead of blocking forever.
+        # NVDR_TEST_STALL_AT=<iter> simulates the dead tunnel (the sync
+        # blocks indefinitely at that iteration) for the recovery test.
+        def _sync():
+            if it == int(os.environ.get('NVDR_TEST_STALL_AT', -1)):
+                time.sleep(3600)  # simulated dead tunnel
+            return float(img_loss), float(reg_loss)
         try:
             img_loss_f, reg_loss_f = sync_with_watchdog(
-                lambda: (float(img_loss), float(reg_loss)),
-                _stall_timeout(iter_dur_vec))
+                _sync, _stall_timeout(iter_dur_vec))
         except StallError as e:
             print('STALL at iter %d (%s): attempting checkpoint, then '
                   'exiting for supervised restart' % (it, e), flush=True)
