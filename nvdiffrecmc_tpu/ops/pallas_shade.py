@@ -567,16 +567,22 @@ def _ray_features_rows(samp16, gb, tri_dtype):
 
 def _shade_fwd_kernel(lists_hbm, samp_ref, gb_ref, trimat_hbm, out_ref,
                       vis_ref, tri_vmem, lst, sems, lsem, *, BSDF, n2, L,
-                      tri_dtype, tmin):
+                      tri_dtype, tmin, leaf_batch):
     """Leaf matrices stream HBM->VMEM with double-buffered DMA (the v4
     tracer pattern) — no VMEM scene-size ceiling.  Visit lists also live in
     HBM and each (block, stratum) row is DMA'd into SMEM scratch.  vis_ref
     holds the whole [n2, 2RB] slab for this block (Mosaic requires the
     sublane block dim to be 8k or the full array dim); the stratum row is
-    written with a one-hot select, not dynamic indexing."""
+    written with a one-hot select, not dynamic indexing.
+
+    Round-5 epilogue diet (same as pallas_tracer._trace_kernel): occlusion
+    accumulates as a [2RB, L] lane mask with one post-loop reduce, and
+    leaves stream leaf_batch (KL) per DMA round."""
     i = pl.program_id(0)
     s = pl.program_id(1)
     RB = gb_ref.shape[-1]
+    FL = N_FIELDS * L
+    KL = leaf_batch
 
     ldma = pltpu.make_async_copy(lists_hbm.at[i, s], lst, lsem)
     ldma.start()
@@ -599,12 +605,48 @@ def _shade_fwd_kernel(lists_hbm, samp_ref, gb_ref, trimat_hbm, out_ref,
         return lst[jax.lax.div(k, W2), jax.lax.rem(k, W2)]
 
     def dma(slot, j):
+        # early-exit path (leaf_batch forced to 1): whole-buffer copies
         return pltpu.make_async_copy(
-            trimat_hbm.at[leaf(j)], tri_vmem.at[slot], sems.at[slot])
+            trimat_hbm.at[leaf(j)], tri_vmem.at[slot], sems.at[slot, 0])
+
+    def dma_k(slot, r, k):
+        return pltpu.make_async_copy(
+            trimat_hbm.at[leaf(r * KL + k)],
+            tri_vmem.at[slot, :, pl.ds(k * FL, FL)],
+            sems.at[slot, k])
 
     @pl.when(n > 0)
     def _():
-        dma(0, 0).start()
+        from .pallas_tracer import _early_exit_on
+        if not _early_exit_on():
+            n_r = jax.lax.div(n + (KL - 1), KL)
+            for k in range(KL):
+                dma_k(0, 0, k).start()
+
+            def visit_r(r, acc):
+                slot = jax.lax.rem(r, 2)
+
+                @pl.when(r + 1 < n_r)
+                def _():
+                    for k in range(KL):
+                        dma_k(1 - slot, r + 1, k).start()
+
+                for k in range(KL):
+                    dma_k(slot, r, k).wait()
+                    E = jnp.dot(rayf,
+                                tri_vmem[slot, :, k * FL:(k + 1) * FL],
+                                preferred_element_type=jnp.float32)
+                    acc = jnp.logical_or(acc, decode_hits(E, L, tmin=tmin))
+                return acc
+
+            acc = jax.lax.fori_loop(0, n_r, visit_r,
+                                    jnp.zeros((2 * RB, L), jnp.bool_))
+            occ_col = jnp.max(acc.astype(jnp.float32), axis=-1,
+                              keepdims=True)
+            vrow0 = jnp.broadcast_to(1.0 - occ_col.T, (n2, 2 * RB))
+            srow0 = jax.lax.broadcasted_iota(jnp.int32, (n2, 2 * RB), 0)
+            vis_ref[:] = jnp.where(srow0 == s, vrow0, vis_ref[:])
+            return
 
         def visit(j, oc):
             slot = jax.lax.rem(j, 2)
@@ -614,45 +656,39 @@ def _shade_fwd_kernel(lists_hbm, samp_ref, gb_ref, trimat_hbm, out_ref,
                 dma(1 - slot, j + 1).start()
 
             dma(slot, j).wait()
-            E = jnp.dot(rayf, tri_vmem[slot],
+            E = jnp.dot(rayf, tri_vmem[slot, :, 0:FL],
                         preferred_element_type=jnp.float32)   # [2RB, 5L]
             hit = decode_hits(E, L, tmin=tmin)
             return jnp.maximum(
                 oc, jnp.max(hit.astype(jnp.float32), axis=-1,
                             keepdims=True))
 
-        from .pallas_tracer import _early_exit_on
-        if not _early_exit_on():
-            n_lim = n
+        # group-of-G all-occluded early exit (see
+        # pallas_tracer._trace_kernel for the pipelining rationale;
+        # per-leaf checks measured 26% slower)
+        G = EXIT_GROUP
+        n_g = jax.lax.div(n + (G - 1), G)
+        n_lim = n_g * G
+
+        def cond(c):
+            g, done, _ = c
+            return (g < n_g) & (done == 0)
+
+        def gbody(c):
+            g, _, occ_col = c
             occ_col = jax.lax.fori_loop(
-                0, n, visit, jnp.zeros((2 * RB, 1), jnp.float32))
-        else:
-            # group-of-G all-occluded early exit (see
-            # pallas_tracer._trace_kernel for the pipelining rationale;
-            # per-leaf checks measured 26% slower)
-            G = EXIT_GROUP
-            n_g = jax.lax.div(n + (G - 1), G)
-            n_lim = n_g * G
+                0, G, lambda i, oc: visit(g * G + i, oc), occ_col)
+            done = (jnp.sum(occ_col) >= 2.0 * RB).astype(jnp.int32)
+            return (g + 1, done, occ_col)
 
-            def cond(c):
-                g, done, _ = c
-                return (g < n_g) & (done == 0)
+        g_end, done, occ_col = jax.lax.while_loop(
+            cond, gbody, (jnp.int32(0), jnp.int32(0),
+                          jnp.zeros((2 * RB, 1), jnp.float32)))
+        j_next = g_end * G
 
-            def gbody(c):
-                g, _, occ_col = c
-                occ_col = jax.lax.fori_loop(
-                    0, G, lambda i, oc: visit(g * G + i, oc), occ_col)
-                done = (jnp.sum(occ_col) >= 2.0 * RB).astype(jnp.int32)
-                return (g + 1, done, occ_col)
-
-            g_end, done, occ_col = jax.lax.while_loop(
-                cond, gbody, (jnp.int32(0), jnp.int32(0),
-                              jnp.zeros((2 * RB, 1), jnp.float32)))
-            j_next = g_end * G
-
-            @pl.when(j_next < n_lim)
-            def _():
-                dma(jax.lax.rem(j_next, 2), j_next).wait()
+        @pl.when(j_next < n_lim)
+        def _():
+            dma(jax.lax.rem(j_next, 2), j_next).wait()
 
         vrow = jnp.broadcast_to(1.0 - occ_col.T, (n2, 2 * RB))
         srow = jax.lax.broadcasted_iota(jnp.int32, (n2, 2 * RB), 0)
@@ -982,9 +1018,12 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
         Cl8 = lists.shape[-1]                        # = Cl // 8
 
         gbC = pack_gb(pos_, nrm_, view_, kd_, ks_, ro_pk, m_rowk)
+        from .pallas_tracer import _early_exit_on, default_leaf_batch
+        KL = 1 if _early_exit_on() else default_leaf_batch()
         out, visw = pl.pallas_call(
             functools.partial(_shade_fwd_kernel, BSDF=BSDF, n2=n2, L=L,
-                              tri_dtype=bvh_k.tri_mat.dtype, tmin=tmin),
+                              tri_dtype=bvh_k.tri_mat.dtype, tmin=tmin,
+                              leaf_batch=KL),
             grid=(NB, n2),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # visit lists in HBM
@@ -1005,9 +1044,10 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
                 jax.ShapeDtypeStruct((n2, 2 * Pp), jnp.float32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, K_FEATS, N_FIELDS * L), bvh_k.tri_mat.dtype),
+                pltpu.VMEM((2, K_FEATS, KL * N_FIELDS * L),
+                           bvh_k.tri_mat.dtype),
                 pltpu.SMEM((8, Cl8), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, KL)),
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
