@@ -636,13 +636,13 @@ def _shade_fwd_kernel(lists_hbm, samp_ref, gb_ref, trimat_hbm, out_ref,
                     E = jnp.dot(rayf,
                                 tri_vmem[slot, :, k * FL:(k + 1) * FL],
                                 preferred_element_type=jnp.float32)
-                    acc = jnp.logical_or(acc, decode_hits(E, L, tmin=tmin))
+                    hit = decode_hits(E, L, tmin=tmin)
+                    acc = jnp.maximum(acc, hit.astype(jnp.float32))
                 return acc
 
             acc = jax.lax.fori_loop(0, n_r, visit_r,
-                                    jnp.zeros((2 * RB, L), jnp.bool_))
-            occ_col = jnp.max(acc.astype(jnp.float32), axis=-1,
-                              keepdims=True)
+                                    jnp.zeros((2 * RB, L), jnp.float32))
+            occ_col = jnp.max(acc, axis=-1, keepdims=True)
             vrow0 = jnp.broadcast_to(1.0 - occ_col.T, (n2, 2 * RB))
             srow0 = jax.lax.broadcasted_iota(jnp.int32, (n2, 2 * RB), 0)
             vis_ref[:] = jnp.where(srow0 == s, vrow0, vis_ref[:])

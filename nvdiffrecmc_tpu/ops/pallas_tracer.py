@@ -252,12 +252,13 @@ def _trace_kernel(lists_hbm, rayf_ref, trimat_hbm, occ_ref,
                     E = jnp.dot(rayf,
                                 tri_vmem[slot, :, k * FL:(k + 1) * FL],
                                 preferred_element_type=jnp.float32)
-                    acc = jnp.logical_or(acc, decode_hits(E, L, tmin=tmin))
+                    hit = decode_hits(E, L, tmin=tmin)
+                    acc = jnp.maximum(acc, hit.astype(jnp.float32))
                 return acc
 
             acc = jax.lax.fori_loop(0, n_r, visit,
-                                    jnp.zeros((RB, L), jnp.bool_))
-            occ_ref[:, 0] = jnp.max(acc.astype(jnp.float32), axis=-1)
+                                    jnp.zeros((RB, L), jnp.float32))
+            occ_ref[:, 0] = jnp.max(acc, axis=-1)
             return
 
         def visit(j, oc):
