@@ -80,6 +80,16 @@ def ray_features(o, d):
         axis=-1)
 
 
+def _xor_epilogue_on():
+    """Sign tests via int xor instead of float products (NVDR_XOR_EPILOGUE,
+    read at trace time).  ~3 fewer wide VPU ops per leaf visit; differs
+    from the product form only on measure-zero edge cases (an exact-zero
+    barycentric field next to two negatives counts as same-sign under
+    `x*0 >= 0` but not under sign-bit xor)."""
+    import os
+    return os.environ.get('NVDR_XOR_EPILOGUE', '0') not in ('0', 'false', '')
+
+
 def decode_hits(E, L, tmin=0.0):
     """Epilogue of the matmul test: E [..., 5L] field-major -> hit [..., L].
 
@@ -91,6 +101,14 @@ def decode_hits(E, L, tmin=0.0):
     num = E[..., 3 * L:4 * L]
     den = E[..., 4 * L:5 * L]
     num = num - tmin * den
+    if _xor_epilogue_on():
+        def bc(x):
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
+        # sign bit of the or-of-xors is set iff any pair disagrees; the
+        # t-positivity test keeps one float product for its != 0 part
+        # (zeroed/padded triangles have num = den = 0 -> never hit)
+        m = (bc(e0) ^ bc(e1)) | (bc(e1) ^ bc(e2)) | (bc(num) ^ bc(den))
+        return (m >= 0) & (num * den != 0.0)
     same_sign = (e0 * e1 >= 0.0) & (e1 * e2 >= 0.0) & (e0 * e2 >= 0.0)
     return same_sign & (num * den > 0.0)
 

@@ -128,6 +128,32 @@ def test_pallas_kernel_leaf_batch_variants(monkeypatch, leaf_batch,
     assert (got == want).mean() > 0.99
 
 
+def test_xor_epilogue_matches_bruteforce(monkeypatch):
+    """NVDR_XOR_EPILOGUE sign-bit decode vs brute force (and vs the
+    product-form decode away from measure-zero edges)."""
+    v, t = icosphere_like(400, seed=13)
+    bvh = bvh_mod.build(v, t, leaf_size=16)
+    rng = np.random.RandomState(14)
+    R = 1024
+    ro = jnp.asarray(rng.uniform(-2, 2, (R, 3)).astype(np.float32))
+    rd = rng.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    want = np.asarray(tracer.any_hit_bruteforce(
+        ro, rd, v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]))
+
+    monkeypatch.setenv('NVDR_XOR_EPILOGUE', '1')
+    jax.clear_caches()  # env is read at trace time
+    try:
+        got = np.asarray(tracer.any_hit(ro, rd, bvh, ray_chunk=1024,
+                                        k_pairs=32))
+    finally:
+        monkeypatch.delenv('NVDR_XOR_EPILOGUE')
+        jax.clear_caches()
+    agree = (got == want).mean()
+    assert agree > 0.999, f"agreement {agree}"
+
+
 def test_overflow_counter_surfaces_dropped_pairs():
     """k_pairs cap overflow must be counted, not silent (the Pallas backend
     has no cap; this guards the jnp reference backend)."""
