@@ -618,7 +618,7 @@ def _shade_fwd_kernel(lists_hbm, samp_ref, gb_ref, trimat_hbm, out_ref,
     @pl.when(n > 0)
     def _():
         from .pallas_tracer import _early_exit_on
-        if not _early_exit_on():
+        if KL >= 1 and not _early_exit_on():
             n_r = jax.lax.div(n + (KL - 1), KL)
             for k in range(KL):
                 dma_k(0, 0, k).start()
@@ -662,6 +662,18 @@ def _shade_fwd_kernel(lists_hbm, samp_ref, gb_ref, trimat_hbm, out_ref,
             return jnp.maximum(
                 oc, jnp.max(hit.astype(jnp.float32), axis=-1,
                             keepdims=True))
+
+        dma(0, 0).start()
+
+        if not _early_exit_on():
+            # legacy path (NVDR_LEAF_BATCH=0 kill-switch): round-4 loop
+            n_lim = n
+            occ_col = jax.lax.fori_loop(
+                0, n, visit, jnp.zeros((2 * RB, 1), jnp.float32))
+            vrow1 = jnp.broadcast_to(1.0 - occ_col.T, (n2, 2 * RB))
+            srow2 = jax.lax.broadcasted_iota(jnp.int32, (n2, 2 * RB), 0)
+            vis_ref[:] = jnp.where(srow2 == s, vrow1, vis_ref[:])
+            return
 
         # group-of-G all-occluded early exit (see
         # pallas_tracer._trace_kernel for the pipelining rationale;
@@ -1044,10 +1056,10 @@ def env_shade_fused(mask, ro, gb_pos, gb_normal, gb_view_pos, gb_kd, gb_ks,
                 jax.ShapeDtypeStruct((n2, 2 * Pp), jnp.float32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, K_FEATS, KL * N_FIELDS * L),
+                pltpu.VMEM((2, K_FEATS, max(KL, 1) * N_FIELDS * L),
                            bvh_k.tri_mat.dtype),
                 pltpu.SMEM((8, Cl8), jnp.int32),
-                pltpu.SemaphoreType.DMA((2, KL)),
+                pltpu.SemaphoreType.DMA((2, max(KL, 1))),
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,

@@ -234,7 +234,7 @@ def _trace_kernel(lists_hbm, rayf_ref, trimat_hbm, occ_ref,
 
     @pl.when(n > 0)
     def _():
-        if not _early_exit_on():
+        if KL >= 1 and not _early_exit_on():
             n_r = jax.lax.div(n + (KL - 1), KL)
             for k in range(KL):
                 dma_k(0, 0, k).start()
@@ -275,6 +275,17 @@ def _trace_kernel(lists_hbm, rayf_ref, trimat_hbm, occ_ref,
             return jnp.maximum(
                 oc, jnp.max(hit.astype(jnp.float32), axis=-1,
                             keepdims=True))
+
+        dma(0, 0).start()
+
+        if not _early_exit_on():
+            # legacy path (NVDR_LEAF_BATCH=0 kill-switch): the round-4
+            # kernel verbatim — whole-buffer DMA, per-visit reduce
+            n_lim = n
+            occ_col = jax.lax.fori_loop(
+                0, n, visit, jnp.zeros((RB, 1), jnp.float32))
+            occ_ref[:, 0] = occ_col[:, 0]
+            return
 
         # Early exit on all-occluded, checked once per group of G
         # leaves: any-hit is monotone, so once every ray in the block
@@ -365,9 +376,12 @@ def any_hit_pallas(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
 
 def default_leaf_batch():
     """Leaves fetched per DMA round in the streaming trace loops
-    (NVDR_LEAF_BATCH to A/B; must divide into the EXIT_GROUP slack)."""
+    (NVDR_LEAF_BATCH to A/B; must divide into the EXIT_GROUP slack).
+    0 = legacy kill-switch: the round-4 loop shape (whole-buffer DMA,
+    per-visit reduce) in case the sliced-DMA kernels hit a Mosaic
+    constraint on real hardware that interpret mode can't surface."""
     import os
-    return max(1, min(8, int(os.environ.get('NVDR_LEAF_BATCH', '4'))))
+    return max(0, min(8, int(os.environ.get('NVDR_LEAF_BATCH', '4'))))
 
 
 def trace_rayf(rayf, bvh: LeafBVH, tmin=0.0, tmax=1e16, ray_block=1024,
@@ -407,9 +421,10 @@ def trace_rayf(rayf, bvh: LeafBVH, tmin=0.0, tmax=1e16, ray_block=1024,
         out_specs=pl.BlockSpec((ray_block, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, K_FEATS, KL * N_FIELDS * L), bvh.tri_mat.dtype),
+            pltpu.VMEM((2, K_FEATS, max(KL, 1) * N_FIELDS * L),
+                       bvh.tri_mat.dtype),
             pltpu.SMEM((8, Cl // 8), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, KL)),
+            pltpu.SemaphoreType.DMA((2, max(KL, 1))),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

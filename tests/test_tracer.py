@@ -99,7 +99,8 @@ def test_pallas_kernel_interpret_matches_bruteforce():
 
 
 @pytest.mark.parametrize('leaf_batch,early_exit',
-                         [('1', '0'), ('2', '0'), ('8', '0'), ('4', '1')])
+                         [('0', '0'), ('1', '0'), ('2', '0'), ('8', '0'),
+                          ('4', '1')])
 def test_pallas_kernel_leaf_batch_variants(monkeypatch, leaf_batch,
                                            early_exit):
     """The streaming-loop variants (leaf_batch rounds with deferred lane
