@@ -54,11 +54,14 @@ def _pair_blend(color, tid, z, tri_xy, axis):
     fg_id = jnp.where(p_fg, idp, idq)
     fg_t = jnp.clip(fg_id - 1, 0, tri_xy.shape[1] - 1)
 
-    # gather fg triangle screen vertices: [N,h,w,3,2]
-    def g(txy, t):
-        return txy[t]
-
-    V = jax.vmap(g)(tri_xy, fg_t)
+    # gather fg triangle screen vertices: [N,h,w,3,2].  rows_gather_b
+    # routes the backward through the binned Pallas scatter instead of the
+    # AD-emitted XLA row scatter (~95 ns/row serial — this cotangent is
+    # h*w rows per axis, one of the top pass-2 byte producers).
+    from .pallas_scatter import rows_gather_b
+    T = tri_xy.shape[1]
+    V = rows_gather_b(tri_xy.reshape(N, T, 6), fg_t).reshape(
+        fg_t.shape + (3, 2))
 
     # pixel centers of p and q in pixel coords
     h, w = idp.shape[1], idp.shape[2]
