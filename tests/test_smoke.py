@@ -117,6 +117,19 @@ def test_render_eval_staged_runs():
         target, FLAGS, n_samples=8, bsdf="kd")
     assert np.all(np.isfinite(np.asarray(kd['shaded'])))
 
+    # grouped on-device stage accumulation (STAGES_PER_PROG) must equal
+    # the one-dispatch-per-seed path: same seeds, different sum order
+    import unittest.mock as mock
+    train_mod._EVAL_JIT_CACHE.clear()
+    with mock.patch.object(train_mod, 'STAGES_PER_PROG', 2):
+        grouped = train_mod.render_eval(
+            geometry, geometry.parameters(), mat_params, mat_static,
+            light_base, target, FLAGS, n_samples=8)
+    train_mod._EVAL_JIT_CACHE.clear()
+    np.testing.assert_allclose(np.asarray(grouped['shaded']),
+                               np.asarray(buffers['shaded']),
+                               rtol=2e-5, atol=2e-6)
+
 
 @pytest.mark.smoke
 def test_pass_boundary_bake():

@@ -690,6 +690,8 @@ def load_checkpoint(path):
 # Validation (reference train.py:205-307)
 ###############################################################################
 
+STAGES_PER_PROG = 8   # eval MC seed stages summed per device program
+
 _EVAL_JIT_CACHE = {}
 
 
@@ -755,25 +757,55 @@ def render_eval(geometry, geo_params, mat_params, mat_static, light_base,
             return render_mod.render_mc(F, layers, lgt, bvh, bsdf_r, 1.0,
                                         rnd_seed, perms)
 
+        # STAGES_PER_PROG seed stages summed on device in one program:
+        # each fn_mc dispatch costs a ~72 ms tunnel round trip, so K=64
+        # separate dispatches were mostly latency.  Groups stay small so
+        # one program never approaches the TPU worker's ~20 s kill
+        # (PERF_NOTES.md): 8 stages x ~0.1-0.5 s/stage.
+        def fn_mc_group(layers, light_base, bvh, seed0):
+            tables = light_mod.update_pdf(light_base)
+            lgt = {'base': light_base, 'pdf': tables.pdf,
+                   'rows': tables.rows, 'cols': tables.cols}
+
+            def one(seed):
+                return render_mod.render_mc(F, layers, lgt, bvh, bsdf_r,
+                                            1.0, seed, perms)
+
+            def body(acc, k):
+                return jax.tree.map(jnp.add, acc, one(seed0 + k)), None
+
+            acc, _ = jax.lax.scan(
+                body, one(seed0),
+                jnp.arange(1, STAGES_PER_PROG, dtype=jnp.int32))
+            return acc
+
         def fn_fin(opt_mesh, v_pos_clip, layers, mc, background):
             return render_mod.render_finish(
                 F, opt_mesh, v_pos_clip, layers, mc, res, spp, False,
                 background, bsdf_r, None)
 
         _EVAL_JIT_CACHE[ck] = (jax.jit(fn_g), jax.jit(fn_mc),
-                               jax.jit(fn_fin),
+                               jax.jit(fn_mc_group), jax.jit(fn_fin),
                                jax.jit(lambda a, b: jax.tree.map(
                                    jnp.add, a, b)))
-    fn_g, fn_mc, fn_fin, fn_acc = _EVAL_JIT_CACHE[ck]
+    fn_g, fn_mc, fn_mc_group, fn_fin, fn_acc = _EVAL_JIT_CACHE[ck]
     opt_mesh, bvh, v_pos_clip, layers = fn_g(
         geo_consts, geo_params, mat_params, target['mvp'], target['campos'],
         jax.random.PRNGKey(0))
     mc = fn_mc(layers, light_base, bvh, jnp.int32(1000))
     has_mc = any(x is not None for pair in mc for x in pair)
     if K > 1 and has_mc:
-        for k_i in range(1, K):
-            mc = fn_acc(mc, fn_mc(layers, light_base, bvh,
-                                  jnp.int32(1000 + k_i)))
+        k_i = 1
+        while k_i < K:
+            if K - k_i >= STAGES_PER_PROG:
+                # STAGES_PER_PROG seeds summed in one device program
+                mc = fn_acc(mc, fn_mc_group(layers, light_base, bvh,
+                                            jnp.int32(1000 + k_i)))
+                k_i += STAGES_PER_PROG
+            else:
+                mc = fn_acc(mc, fn_mc(layers, light_base, bvh,
+                                      jnp.int32(1000 + k_i)))
+                k_i += 1
         mc = jax.tree.map(lambda x: x / K, mc)
     return fn_fin(opt_mesh, v_pos_clip, layers, mc, target['background'])
 
