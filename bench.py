@@ -302,6 +302,30 @@ def _note(msg, t0):
           file=sys.stderr, flush=True)
 
 
+def _probe_device(max_wait_s=600.0):
+    """Fail fast (nonzero exit + message) instead of hanging forever when
+    the axon tunnel is dead: a blocked first device op sits in tcp recv
+    indefinitely (see PERF_NOTES round 5 / tools/run_quality_spot.sh)."""
+    import concurrent.futures
+    deadline = time.time() + max_wait_s
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    while True:
+        fut = pool.submit(lambda: float(jnp.ones(()).sum()))
+        try:
+            fut.result(timeout=min(120.0, max(5.0, deadline - time.time())))
+            return
+        except concurrent.futures.TimeoutError:
+            pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        except Exception as e:
+            print('bench: device probe error: %r' % (e,), file=sys.stderr)
+        if time.time() >= deadline:
+            print('bench: device unreachable for %.0f s (dead tunnel?) — '
+                  'aborting instead of hanging' % max_wait_s,
+                  file=sys.stderr, flush=True)
+            sys.exit(4)
+        time.sleep(15)
+
+
 def main():
     for flag, which in (('--profile', 'pass2'), ('--profile-pass1', 'pass1')):
         if flag in sys.argv:
@@ -309,6 +333,7 @@ def main():
             args = sys.argv[idx + 1:idx + 2]
             profile_step(*args, which=which)
             return
+    _probe_device()
     t_start = time.time()
     _note('tracer bench...', t_start)
     mrays = bench_tracer()
