@@ -43,9 +43,12 @@ EOF
 }
 
 for attempt in $(seq 1 "${MAX_RESTARTS:-12}"); do
-  wait_tunnel || exit 2
+  # SKIP_TUNNEL_WAIT=1 for CPU runs (JAX_PLATFORMS=cpu) — no tunnel needed
+  if [ "${SKIP_TUNNEL_WAIT:-0}" != "1" ]; then
+    wait_tunnel || exit 2
+  fi
   echo "[supervisor] attempt $attempt at $(date -u +%H:%M:%S)"
-  timeout "${ATTEMPT_TIMEOUT:-18000}" python train.py \
+  timeout "${ATTEMPT_TIMEOUT:-18000}" nice -n "${NICENESS:-0}" python train.py \
       --config "${CONFIG:-configs/spot.json}" \
       -i "${ITERS:-300}" --validate true \
       --save-interval "${SAVE_INTERVAL:-50}" \
