@@ -85,6 +85,11 @@ DEFAULTS = dict(
     micro_batch=0,
     leaf_size=128,
     max_tris=None,
+    # DMTet SDF initialization: 'random' (reference parity,
+    # /root/reference/geometry/dmtet.py:195) or 'sphere' (warm start from an
+    # enclosing sphere; skips the carve-the-blob transient — see
+    # geometry/dmtet.py).
+    sdf_init='random',
     out_root='out',
 )
 
@@ -153,6 +158,8 @@ def parse_flags(argv=None):
                              'bitwise, continuous with the original.')
     parser.add_argument('--scale-schedules', type=strtobool,
                         default=DEFAULTS['scale_schedules'])
+    parser.add_argument('--sdf-init', choices=['random', 'sphere'],
+                        default=DEFAULTS['sdf_init'])
     args = parser.parse_args(argv)
 
     FLAGS = dict(DEFAULTS)

@@ -283,8 +283,24 @@ class DMTetGeometry:
         # count are near-free: their raster chunks bbox-cull and their BVH
         # leaves have inverted AABBs, so only the setup matmuls see them.
         self.max_tris = max_tris or 24 * grid_res * grid_res
-        rng = np.random.RandomState(seed)
-        sdf = rng.rand(self.verts.shape[1]).astype(np.float32) - 0.1
+        # SDF init.  'random' is the reference's uniform init (rand-0.1,
+        # /root/reference/geometry/dmtet.py:195): ~90% of verts start
+        # "inside", producing a volume-filling blob that the optimizer must
+        # carve away — the blob phase dominates early pass-1 cost (block
+        # visit-list unions cover most leaves, PERF_NOTES round-4) and eats
+        # a large share of a reduced iteration budget.  'sphere' starts from
+        # the signed distance to a sphere enclosing the normalized scene
+        # (r = 0.5*scale covers the [-scale/2, scale/2] box except corners):
+        # a standard DMTet warm start that skips the carve-the-blob
+        # transient entirely; topology remains free (the sphere splits and
+        # carves like any SDF).  Default stays 'random' (reference parity).
+        if str(FLAGS.get('sdf_init', 'random')) == 'sphere':
+            v = np.asarray(self.verts)                         # [3, Nv]
+            sdf = (0.5 * scale
+                   - np.linalg.norm(v, axis=0)).astype(np.float32)
+        else:
+            rng = np.random.RandomState(seed)
+            sdf = rng.rand(self.verts.shape[1]).astype(np.float32) - 0.1
         self.init_params = {
             'sdf': jnp.asarray(sdf),
             'deform': jnp.zeros_like(self.verts),   # [3, Nv] transposed

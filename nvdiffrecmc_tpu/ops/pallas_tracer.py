@@ -377,11 +377,16 @@ def any_hit_pallas(ro, rd, bvh: LeafBVH, tmin=0.0, tmax=1e16,
 def default_leaf_batch():
     """Leaves fetched per DMA round in the streaming trace loops
     (NVDR_LEAF_BATCH to A/B; must divide into the EXIT_GROUP slack).
-    0 = legacy kill-switch: the round-4 loop shape (whole-buffer DMA,
-    per-visit reduce) in case the sliced-DMA kernels hit a Mosaic
-    constraint on real hardware that interpret mode can't surface."""
+    0 = the round-4 loop shape (whole-buffer DMA, per-visit reduce).
+
+    Default 0: the on-chip A/B (tools/bench_tracer_ab.py, 2026-08-21,
+    v5e) measured the KL=4 sliced-DMA variant SLOWER than the legacy
+    loop — 11.39 vs 13.72 Mrays/s standalone, 678 vs 502 ms incoherent
+    fused-shade fwd — the per-round DMA-slice setup costs more than the
+    sync amortization saves at leaf_size=128.  Kept as an env knob for
+    future hardware where the trade may flip."""
     import os
-    return max(0, min(8, int(os.environ.get('NVDR_LEAF_BATCH', '4'))))
+    return max(0, min(8, int(os.environ.get('NVDR_LEAF_BATCH', '0'))))
 
 
 def trace_rayf(rayf, bvh: LeafBVH, tmin=0.0, tmax=1e16, ray_block=1024,
