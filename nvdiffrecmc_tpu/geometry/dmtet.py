@@ -290,13 +290,16 @@ class DMTetGeometry:
         # visit-list unions cover most leaves, PERF_NOTES round-4) and eats
         # a large share of a reduced iteration budget.  'sphere' starts from
         # the signed distance to a sphere enclosing the normalized scene
-        # (r = 0.5*scale covers the [-scale/2, scale/2] box except corners):
         # a standard DMTet warm start that skips the carve-the-blob
         # transient entirely; topology remains free (the sphere splits and
-        # carves like any SDF).  Default stays 'random' (reference parity).
+        # carves like any SDF).  r = 0.45*scale, strictly inside the
+        # [-scale/2, scale/2] grid: at 0.5*scale the sphere is TANGENT to
+        # all six faces and the near-zero SDF shells there blow the
+        # crossing-tet count past max_tris (overflow at init).  Default
+        # stays 'random' (reference parity).
         if str(FLAGS.get('sdf_init', 'random')) == 'sphere':
             v = np.asarray(self.verts)                         # [3, Nv]
-            sdf = (0.5 * scale
+            sdf = (0.45 * scale
                    - np.linalg.norm(v, axis=0)).astype(np.float32)
         else:
             rng = np.random.RandomState(seed)

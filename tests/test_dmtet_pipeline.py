@@ -67,6 +67,35 @@ def test_marching_tets_overflow_signal():
     assert cap == 8 and n > 8
 
 
+def test_sphere_sdf_init():
+    """sdf_init='sphere' starts from the signed distance to an enclosing
+    sphere: extraction yields a watertight sphere-ish surface at radius
+    0.45*scale with no overflow (vs the random init's volume-filling
+    blob; 0.5*scale would be tangent to the grid faces and overflow)."""
+    geo = dmtet_mod.DMTetGeometry(
+        12, 2.0, {'dmtet_grid': 12, 'mesh_scale': 2.0, 'sdf_init': 'sphere'})
+    p = geo.parameters()
+    sdf = np.asarray(p['sdf'])
+    # signed distance to |v| = 0.9 on the scaled grid
+    v = np.asarray(geo.verts)
+    np.testing.assert_allclose(sdf, 0.9 - np.linalg.norm(v, axis=0),
+                               atol=1e-5)
+    verts, faces, _, mask, overflow = dmtet_mod.marching_tets(
+        geo.verts, p['sdf'], geo.indices, geo.edge_uniq, geo.edge_map,
+        geo.max_tris)
+    assert not bool(overflow)
+    f = np.asarray(faces)[np.asarray(mask) > 0]
+    assert f.shape[0] > 50
+    r = np.linalg.norm(np.asarray(verts)[np.unique(f)], axis=-1)
+    assert abs(r.mean() - 0.9) < 0.05
+
+    # default stays reference-parity random
+    geo_r = dmtet_mod.DMTetGeometry(
+        12, 2.0, {'dmtet_grid': 12, 'mesh_scale': 2.0})
+    sdf_r = np.asarray(geo_r.parameters()['sdf'])
+    assert sdf_r.min() >= -0.1 - 1e-6 and sdf_r.max() <= 0.9 + 1e-6
+
+
 def test_marching_tets_vertex_compaction():
     """Compact vertex buffer: only crossing edges get slots; every masked
     face references a slot below the live count."""
