@@ -90,6 +90,12 @@ DEFAULTS = dict(
     # enclosing sphere; skips the carve-the-blob transient — see
     # geometry/dmtet.py).
     sdf_init='random',
+    # Pass-boundary floater pruning: connected components smaller than this
+    # fraction of total faces are dropped from the baked base mesh
+    # (measured spot@128^2: cow = 4105 faces, all 48 floaters <= 48 faces;
+    # 1% cleanly separates them)
+    # (train.py:prune_small_components).  0 = off (reference parity).
+    prune_components=0.01,
     out_root='out',
 )
 
@@ -160,6 +166,11 @@ def parse_flags(argv=None):
                         default=DEFAULTS['scale_schedules'])
     parser.add_argument('--sdf-init', choices=['random', 'sphere'],
                         default=DEFAULTS['sdf_init'])
+    parser.add_argument('--prune-components', type=float,
+                        default=DEFAULTS['prune_components'],
+                        help='drop mesh components smaller than this '
+                             'fraction of total faces at the pass-1 -> '
+                             'pass-2 bake boundary (0 disables)')
     args = parser.parse_args(argv)
 
     FLAGS = dict(DEFAULTS)

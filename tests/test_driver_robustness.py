@@ -133,3 +133,27 @@ def test_occlusion_no_overflow_is_silent():
     jax.block_until_ready(occ_fn(ro, rd, bvh))
     jax.effects_barrier()
     assert tracer.OCCLUSION_DROPPED_PAIRS[0] == 0
+
+
+def test_prune_small_components():
+    """Floater pruning at the bake boundary: small disconnected components
+    drop, the main component and t_tex alignment survive, 0 disables."""
+    import numpy as np
+    from train import prune_small_components
+
+    f_big = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 3, 2]])
+    f_small = np.array([[4, 5, 6]])
+    f = np.concatenate([f_big, f_small])
+    ft = np.arange(15).reshape(5, 3)
+
+    f2, ft2, n = prune_small_components(f, ft, 0.3)
+    assert n == 1 and len(f2) == 4
+    np.testing.assert_array_equal(ft2, ft[:4])  # tex rows stay aligned
+
+    f3, ft3, n3 = prune_small_components(f, ft, 0.0)
+    assert n3 == 0 and len(f3) == 5
+
+    # equal-size components below threshold are all kept relative to total
+    fa = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]])
+    f4, _, n4 = prune_small_components(fa, fa, 0.3)
+    assert n4 == 0  # each component is 1/3 of faces >= 0.3 threshold

@@ -284,6 +284,48 @@ def clamp_material(mat_params, mat_static):
 # UV bake at the pass-1 -> pass-2 boundary (reference train.py:108-152)
 ###############################################################################
 
+def _component_labels(faces, n_verts):
+    """Connected components over faces sharing vertices (union-find with
+    path halving; host-side, ~60k faces in well under a second)."""
+    parent = np.arange(n_verts, dtype=np.int64)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for tri in faces:
+        r0 = find(tri[0])
+        for b in (tri[1], tri[2]):
+            rb = find(b)
+            if rb != r0:
+                parent[rb] = r0
+    return np.fromiter((find(tri[0]) for tri in faces),
+                       np.int64, len(faces))
+
+
+def prune_small_components(f, ft, min_frac):
+    """Drop connected components with fewer than min_frac * total faces.
+
+    DMTet extraction under a reduced iteration budget leaves small floater
+    components around the subject (isolated sign islands the optimizer has
+    not yet carved; see QUALITY.md round-5).  They are frozen into the
+    fixed-topology pass at the bake boundary, where pass 2 can only
+    camouflage them.  The reference has no equivalent (its 5000-iter budget
+    carves floaters away in pass 1); this is a deliberate TPU-framework
+    extension, flag-gated (--prune-components 0 disables)."""
+    if min_frac <= 0 or len(f) == 0:
+        return f, ft, 0
+    labels = _component_labels(f, int(f.max()) + 1)
+    uniq, counts = np.unique(labels, return_counts=True)
+    small = set(uniq[counts < min_frac * len(f)].tolist())
+    if not small:
+        return f, ft, 0
+    keep = ~np.isin(labels, list(small))
+    return f[keep], ft[keep], int((~keep).sum())
+
+
 def extract_static_mesh(geometry, params, FLAGS):
     """Pull the DMTet mesh to host, drop padded triangles, compact vertices."""
     m, _ = geometry.getMesh(params, material=None, build_bvh=False)
@@ -293,6 +335,13 @@ def extract_static_mesh(geometry, params, FLAGS):
     ft = np.asarray(m.t_tex_idx)
     keep = np.asarray(m.tri_mask) > 0
     f, ft = f[keep], ft[keep]
+    f, ft, n_pruned = prune_small_components(
+        f, ft, float(FLAGS.get('prune_components', 0.0)))
+    if n_pruned:
+        print('prune_small_components: dropped %d floater triangles '
+              '(< %.2f%% of %d faces per component)'
+              % (n_pruned, 100 * float(FLAGS.get('prune_components', 0.0)),
+                 len(f) + n_pruned))
     used = np.unique(f)
     remap = np.full(v.shape[0], -1, np.int64)
     remap[used] = np.arange(used.shape[0])
