@@ -581,9 +581,11 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
                              'checkpoint_%s.pkl' % pass_name)
     start_it = 0
     if FLAGS.get('resume') and os.path.exists(ckpt_path):
-        params, opt_state, start_it = load_checkpoint(ckpt_path)
-        start_it = int(start_it) + 1
-        print('Resumed %s from iteration %d' % (ckpt_path, start_it))
+        loaded = load_checkpoint(ckpt_path)
+        if loaded is not None:
+            params, opt_state, start_it = loaded
+            start_it = int(start_it) + 1
+            print('Resumed %s from iteration %d' % (ckpt_path, start_it))
 
     img_loss_vec, reg_loss_vec, iter_dur_vec = [], [], []
     img_cnt = 0
@@ -719,20 +721,40 @@ def optimize_mesh(geometry, mat_params, mat_static, light_base, dataset_train,
 ###############################################################################
 
 def save_checkpoint(path, params, opt_state, it):
+    """Atomic checkpoint write: dump to a tmp file and rename over the old
+    checkpoint only once the dump completed.  The round-5 spot run lost 650
+    iterations to the non-atomic version: the stall handler's last-gasp
+    checkpoint attempt pulled params through a WEDGED device sync, died
+    mid-write, and left a 0-byte file over the good iteration-650
+    checkpoint."""
     import pickle
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # device->host pulls happen BEFORE the old checkpoint is touched; if the
+    # device is wedged this hangs/dies with the old file intact.
     flat, treedef = jax.tree_util.tree_flatten((params, opt_state, it))
-    with open(path, 'wb') as f:
-        pickle.dump({'treedef': treedef,
-                     'leaves': [np.asarray(x) for x in flat]}, f)
+    leaves = [np.asarray(x) for x in flat]
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        pickle.dump({'treedef': treedef, 'leaves': leaves}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path):
+    """Returns (params, opt_state, it), or None when the checkpoint is
+    corrupt/unreadable (resume falls back to a fresh start instead of
+    crash-looping the supervisor)."""
     import pickle
-    with open(path, 'rb') as f:
-        d = pickle.load(f)
-    return jax.tree_util.tree_unflatten(
-        d['treedef'], [jnp.asarray(x) for x in d['leaves']])
+    try:
+        with open(path, 'rb') as f:
+            d = pickle.load(f)
+        return jax.tree_util.tree_unflatten(
+            d['treedef'], [jnp.asarray(x) for x in d['leaves']])
+    except Exception as e:  # EOFError, UnpicklingError, KeyError, OSError
+        print('WARNING: checkpoint %s unreadable (%s: %s) — ignoring it'
+              % (path, type(e).__name__, e))
+        return None
 
 
 ###############################################################################
